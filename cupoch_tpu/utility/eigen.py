@@ -1,0 +1,161 @@
+"""Gauss-Newton building blocks and small linear-algebra kernels.
+
+TPU-native equivalents of the reference's device-side solvers
+(src/cupoch/utility/eigen.h / eigen.inl):
+  - ``compute_jtj_jtr``      ~ ComputeJTJandJTr (eigen.h:92-114): a fused
+    J^T J / J^T r reduction over a per-row jacobian functor, expressed
+    here as vmap + masked sum so XLA fuses the whole map-reduce.
+  - ``solve_jacobian_system`` ~ SolveJacobianSystemAndObtainExtrinsicMatrix
+    (eigen.h:83).
+  - ``solve_linear_system_psd`` ~ SolveLinearSystemPSD (eigen.h:72).
+  - ``symeig3x3``            ~ utility/eigenvalue.h FastEigen3x3 (closed
+    form, batched; used by normal estimation / ISS / OBB).
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import transforms
+
+
+def compute_jtj_jtr(
+    jac_res_fn: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
+    data: jax.Array,
+    mask: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused J^T J / J^T r reduction.
+
+    ``jac_res_fn(row) -> (J_r [..., D], r [...])`` may return multiple
+    residuals per row (stacked on a leading axis), matching the
+    reference's ``NumJac`` template parameter. Returns
+    (JTJ [D,D], JTr [D], r2_sum, count).
+    """
+    J, r = jax.vmap(jac_res_fn)(data)
+    if J.ndim == 2:
+        J = J[:, None, :]
+        r = r[:, None]
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (r.ndim - 1)).astype(J.dtype)
+        Jm = J * m[..., None]
+        rm = r * m
+    else:
+        Jm, rm = J, r
+    Jf = Jm.reshape(-1, J.shape[-1])
+    rf = rm.reshape(-1)
+    JTJ = Jf.T @ Jf
+    JTr = Jf.T @ rf
+    r2 = jnp.sum(rf * rf)
+    count = (jnp.sum(mask) * r.shape[-1]) if mask is not None else rf.shape[0]
+    return JTJ, JTr, r2, count
+
+
+def solve_linear_system_psd(
+    A: jax.Array,
+    b: jax.Array,
+    check_det: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve A x = b for PSD A via Cholesky; returns (ok, x).
+
+    Mirrors SolveLinearSystemPSD (reference eigen.h:72) which falls back
+    to zero motion when the system is degenerate.
+    """
+    dtype = A.dtype
+    L, ok_chol = _cholesky_with_status(A)
+    x = jax.scipy.linalg.cho_solve((L, True), b)
+    finite = jnp.all(jnp.isfinite(x))
+    ok = jnp.logical_and(ok_chol, finite)
+    if check_det:
+        det = jnp.linalg.det(A)
+        ok = jnp.logical_and(ok, jnp.abs(det) > jnp.asarray(1e-12, dtype))
+    x = jnp.where(ok, x, jnp.zeros_like(x))
+    return ok, x
+
+
+def _cholesky_with_status(A: jax.Array):
+    L = jnp.linalg.cholesky(A)
+    ok = jnp.all(jnp.isfinite(L))
+    L = jnp.where(ok, L, jnp.eye(A.shape[-1], dtype=A.dtype))
+    return L, ok
+
+
+def solve_jacobian_system(
+    JTJ: jax.Array, JTr: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """6x6 GN step -> (ok, 4x4 extrinsic), solving JTJ dx = -JTr and
+    composing via the Euler-angle convention used by the reference
+    (eigen.h:83 + TransformVector6fToMatrix4f)."""
+    ok, x = solve_linear_system_psd(JTJ, -JTr)
+    T = transforms.transform_vector6_to_matrix4(x)
+    T = jnp.where(ok, T, jnp.eye(4, dtype=T.dtype))
+    return ok, T
+
+
+def symeig3x3(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Closed-form eigendecomposition of symmetric 3x3 matrices.
+
+    Batched on leading dims. Returns (eigvals ascending [...,3],
+    eigvecs [...,3,3] with eigvecs[...,:,i] the i-th eigenvector).
+    Trigonometric eigenvalue formula + cross-product eigenvectors; this
+    replaces the reference's FastEigen3x3 (utility/eigenvalue.h) and is
+    fully vectorizable on the VPU (no iteration, no host sync).
+    """
+    dtype = A.dtype
+    eps = jnp.asarray(1e-12, dtype)
+    q = (A[..., 0, 0] + A[..., 1, 1] + A[..., 2, 2]) / 3.0
+    eye = jnp.eye(3, dtype=dtype)
+    B = A - q[..., None, None] * eye
+    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, eps))
+    detB = jnp.linalg.det(B)
+    r = jnp.clip(detB / (2.0 * jnp.maximum(p, eps) ** 3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    # handle (near-)isotropic matrices
+    iso = p2 < eps
+    vals = jnp.stack([e3, e2, e1], -1)  # ascending
+    vals = jnp.where(iso[..., None], jnp.stack([q, q, q], -1), vals)
+
+    def eigvec(lam):
+        M = A - lam[..., None, None] * eye
+        r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+        c01 = jnp.cross(r0, r1)
+        c02 = jnp.cross(r0, r2)
+        c12 = jnp.cross(r1, r2)
+        n01 = jnp.sum(c01 * c01, -1)
+        n02 = jnp.sum(c02 * c02, -1)
+        n12 = jnp.sum(c12 * c12, -1)
+        best = jnp.argmax(jnp.stack([n01, n02, n12], -1), -1)
+        v = jnp.take_along_axis(
+            jnp.stack([c01, c02, c12], -2), best[..., None, None], axis=-2
+        )[..., 0, :]
+        norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        fallback = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype), v.shape)
+        return jnp.where(norm > eps, v / jnp.maximum(norm, eps), fallback)
+
+    v0 = eigvec(vals[..., 0])
+    v2 = eigvec(vals[..., 2])
+    # enforce orthogonality: v1 = v2 x v0
+    v2 = v2 - jnp.sum(v2 * v0, -1, keepdims=True) * v0
+    v2n = jnp.linalg.norm(v2, axis=-1, keepdims=True)
+    alt = _any_orthonormal(v0)
+    v2 = jnp.where(v2n > eps, v2 / jnp.maximum(v2n, eps), alt)
+    v1 = jnp.cross(v2, v0)
+    vecs = jnp.stack([v0, v1, v2], -1)
+    iso_vecs = jnp.broadcast_to(eye, vecs.shape)
+    vecs = jnp.where(iso[..., None, None], iso_vecs, vecs)
+    return vals, vecs
+
+
+def _any_orthonormal(v: jax.Array) -> jax.Array:
+    """A unit vector orthogonal to unit v (branch-free)."""
+    ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], v.dtype), v.shape)
+    ey = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], v.dtype), v.shape)
+    use_ey = jnp.abs(v[..., 0:1]) > 0.9
+    a = jnp.where(use_ey, ey, ex)
+    w = jnp.cross(v, a)
+    return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
