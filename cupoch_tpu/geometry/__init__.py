@@ -2,7 +2,9 @@
 (TPU-native replacement for src/cupoch/geometry/)."""
 from .boundingvolume import AxisAlignedBoundingBox, OrientedBoundingBox
 from .geometry import Geometry, Geometry2D, Geometry3D, GeometryType
+from .image import FilterType, Image, RGBDImage
 from .pointcloud import PointCloud
+from .trianglemesh import MeshBase, TriangleMesh
 
 # KDTree classes are re-exported here for cupoch API parity
 # (cupoch exposes them under cupoch.geometry as well).
@@ -20,6 +22,11 @@ __all__ = [
     "Geometry3D",
     "GeometryType",
     "PointCloud",
+    "TriangleMesh",
+    "MeshBase",
+    "Image",
+    "RGBDImage",
+    "FilterType",
     "AxisAlignedBoundingBox",
     "OrientedBoundingBox",
     "KDTreeFlann",

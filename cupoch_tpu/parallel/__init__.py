@@ -1,0 +1,15 @@
+"""Multi-chip / multi-host scaling (new scope vs the single-GPU
+reference; see SURVEY.md §2.13 and §7 step 9)."""
+from .sharded import (
+    POINTS_AXIS,
+    make_point_mesh,
+    sharded_icp_step,
+    sharded_transform,
+)
+
+__all__ = [
+    "POINTS_AXIS",
+    "make_point_mesh",
+    "sharded_icp_step",
+    "sharded_transform",
+]

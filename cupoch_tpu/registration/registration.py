@@ -1,0 +1,229 @@
+"""ICP registration driver.
+
+reference: src/cupoch/registration/registration.cu:121-173. The
+reference's host-driven iteration (kd-tree query + Thrust reductions +
+host 6x6 solve per step, with an implicit device sync every iteration)
+becomes ONE compiled `lax.while_loop`: the hash grid over the target is
+built once, and each iteration does correspondence (grid 1-NN), the
+estimator update, the pose composition, and the convergence test
+entirely on device — zero host round-trips until the loop exits.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..knn import bruteforce, gridhash
+from ..utility import console
+from ..utility.shape import bucket_size, pad_axis0, valid_mask
+from ..utility.transforms import transform_points
+from .estimation import (
+    UPDATE_FNS,
+    TransformationEstimation,
+    TransformationEstimationPointToPoint,
+    TransformationEstimationType,
+)
+
+
+class ICPConvergenceCriteria:
+    """reference: registration.h:35-49 (same defaults)."""
+
+    def __init__(self, relative_fitness: float = 1e-6,
+                 relative_rmse: float = 1e-6, max_iteration: int = 30):
+        self.relative_fitness = float(relative_fitness)
+        self.relative_rmse = float(relative_rmse)
+        self.max_iteration = int(max_iteration)
+
+
+class RegistrationResult:
+    """reference: registration.h:51-67."""
+
+    def __init__(self, transformation=None):
+        self.transformation = (
+            np.eye(4, dtype=np.float32) if transformation is None
+            else np.asarray(transformation, np.float32)
+        )
+        self.correspondence_set = np.zeros((0, 2), np.int32)
+        self.inlier_rmse = 0.0
+        self.fitness = 0.0
+
+    def __repr__(self):
+        return (f"RegistrationResult with fitness={self.fitness:.6f}, "
+                f"inlier_rmse={self.inlier_rmse:.6f}, and correspondence_set "
+                f"of size {len(self.correspondence_set)}.")
+
+
+# ---------------------------------------------------------------------------
+# fused device core
+# ---------------------------------------------------------------------------
+
+_GRID_THRESHOLD = 20000  # below this, brute-force 1-NN is faster than the grid
+
+
+def _correspondence_fn(tgt, tgt_mask, max_dist, use_grid: bool, grid=None):
+    if use_grid:
+        def corres(src_t):
+            return gridhash.query_nn(grid, src_t, max_dist)
+    else:
+        r2 = jnp.float32(max_dist) ** 2
+
+        def corres(src_t):
+            idx, d2 = bruteforce.nn_search(src_t, tgt, data_mask=tgt_mask)
+            ok = d2 <= r2
+            return jnp.where(ok, idx, -1), jnp.where(ok, d2, jnp.inf)
+
+    return corres
+
+
+@partial(jax.jit, static_argnames=("est_type", "max_iteration", "use_grid"))
+def _icp_core(
+    src: jax.Array,
+    src_mask: jax.Array,
+    src_normals: jax.Array,
+    tgt: jax.Array,
+    tgt_mask: jax.Array,
+    tgt_normals: jax.Array,
+    init_T: jax.Array,
+    max_dist: jax.Array,
+    relative_fitness: jax.Array,
+    relative_rmse: jax.Array,
+    est_type: TransformationEstimationType,
+    max_iteration: int,
+    use_grid: bool,
+):
+    n_src = jnp.maximum(jnp.sum(src_mask), 1).astype(jnp.float32)
+    grid = gridhash.build_grid(tgt, max_dist, mask=tgt_mask) if use_grid else None
+    corres_fn = _correspondence_fn(tgt, tgt_mask, max_dist, use_grid, grid)
+    update_fn = UPDATE_FNS[est_type]
+    M = tgt.shape[0]
+
+    def eval_state(T):
+        src_t = transform_points(T, src)
+        idx, d2 = corres_fn(src_t)
+        idx = jnp.where(src_mask, idx, -1)
+        ok = idx >= 0
+        cnt = jnp.sum(ok).astype(jnp.float32)
+        err2 = jnp.sum(jnp.where(ok, d2, 0.0))
+        fitness = cnt / n_src
+        rmse = jnp.sqrt(err2 / jnp.maximum(cnt, 1.0))
+        rmse = jnp.where(cnt > 0, rmse, 0.0)
+        return src_t, idx, ok, fitness, rmse
+
+    src_t0, idx0, ok0, fit0, rmse0 = eval_state(init_T)
+
+    def cond(state):
+        it, done, *_ = state
+        return (it < max_iteration) & (~done)
+
+    def body(state):
+        it, done, T, idx, fit, rmse = state
+        src_t = transform_points(T, src)
+        ok = idx >= 0
+        ti = jnp.clip(idx, 0, M - 1)
+        w = ok.astype(jnp.float32)
+        update = update_fn(src_t, tgt[ti], tgt_normals[ti], src_normals, w)
+        T = update @ T
+        _, idx2, ok2, fit2, rmse2 = eval_state(T)
+        converged = (jnp.abs(fit - fit2) < relative_fitness) & (
+            jnp.abs(rmse - rmse2) < relative_rmse
+        )
+        return it + 1, converged, T, idx2, fit2, rmse2
+
+    state0 = (jnp.int32(0), jnp.bool_(False), init_T.astype(jnp.float32),
+              idx0, fit0, rmse0)
+    it, _, T, idx, fit, rmse = jax.lax.while_loop(cond, body, state0)
+    return T, idx, fit, rmse, it
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def _prep(pcd, need_normals: bool):
+    pts = pcd.points
+    cap = bucket_size(pts.shape[0])
+    mask = valid_mask(pts.shape[0], cap)
+    pts = pad_axis0(pts, cap)
+    if need_normals and pcd.has_normals():
+        normals = pad_axis0(pcd.normals, cap)
+    else:
+        normals = jnp.zeros_like(pts)
+    return pts, mask, normals
+
+
+def _make_result(T, idx, fit, rmse, n_src):
+    res = RegistrationResult(np.asarray(T))
+    res.fitness = float(fit)
+    res.inlier_rmse = float(rmse)
+    idx = np.asarray(idx)[:n_src]
+    src_i = np.nonzero(idx >= 0)[0]
+    res.correspondence_set = np.stack(
+        [src_i, idx[src_i]], -1).astype(np.int32)
+    return res
+
+
+def registration_icp(
+    source,
+    target,
+    max_correspondence_distance: float,
+    init=None,
+    estimation: Optional[TransformationEstimation] = None,
+    criteria: Optional[ICPConvergenceCriteria] = None,
+) -> RegistrationResult:
+    """Iterative closest point (reference: RegistrationICP,
+    registration.cu:121)."""
+    if max_correspondence_distance <= 0.0:
+        console.log_error("Invalid max_correspondence_distance.")
+    estimation = estimation or TransformationEstimationPointToPoint()
+    criteria = criteria or ICPConvergenceCriteria()
+    est_type = estimation.get_transformation_estimation_type()
+    need_tgt_normals = est_type in (
+        TransformationEstimationType.PointToPlane,
+        TransformationEstimationType.SymmetricMethod,
+    )
+    if need_tgt_normals and not target.has_normals():
+        console.log_error(
+            "TransformationEstimationPointToPlane and ColoredICP "
+            "require pre-computed target normal vectors.")
+    if est_type == TransformationEstimationType.SymmetricMethod and not source.has_normals():
+        console.log_error("SymmetricMethod requires source normals.")
+
+    init_T = jnp.eye(4, dtype=jnp.float32) if init is None else jnp.asarray(init, jnp.float32)
+    src, src_mask, src_normals = _prep(source, True)
+    tgt, tgt_mask, tgt_normals = _prep(target, need_tgt_normals)
+    use_grid = target.points.shape[0] > _GRID_THRESHOLD
+
+    T, idx, fit, rmse, it = _icp_core(
+        src, src_mask, src_normals, tgt, tgt_mask, tgt_normals, init_T,
+        jnp.float32(max_correspondence_distance),
+        jnp.float32(criteria.relative_fitness),
+        jnp.float32(criteria.relative_rmse),
+        est_type, criteria.max_iteration, use_grid,
+    )
+    console.log_debug("ICP finished after %s iterations", int(it))
+    return _make_result(T, idx, fit, rmse, len(source))
+
+
+def evaluate_registration(
+    source, target, max_correspondence_distance: float, transformation=None
+) -> RegistrationResult:
+    """reference: EvaluateRegistration (registration.cu:95-120)."""
+    T = jnp.eye(4, dtype=jnp.float32) if transformation is None else jnp.asarray(
+        transformation, jnp.float32)
+    src, src_mask, _ = _prep(source, False)
+    tgt, tgt_mask, _ = _prep(target, False)
+    use_grid = target.points.shape[0] > _GRID_THRESHOLD
+
+    T_out, idx, fit, rmse, _ = _icp_core(
+        src, src_mask, jnp.zeros_like(src), tgt, tgt_mask,
+        jnp.zeros_like(tgt), T,
+        jnp.float32(max_correspondence_distance),
+        jnp.float32(0.0), jnp.float32(0.0),
+        TransformationEstimationType.PointToPoint, 0, use_grid,
+    )
+    return _make_result(T_out, idx, fit, rmse, len(source))
