@@ -127,9 +127,9 @@ def compute_rgbd_odometry(
     if (rgbd_source.color.width != rgbd_target.color.width or
             rgbd_source.color.height != rgbd_target.color.height):
         console.log_warning("[RGBDOdometry] Two RGBD pairs should be same in size.")
-        return False, np.eye(4, np.float32), np.zeros((6, 6), np.float32)
+        return False, np.eye(4, dtype=np.float32), np.zeros((6, 6), np.float32)
 
-    odo_init = np.eye(4, np.float32) if odo_init is None else np.asarray(
+    odo_init = np.eye(4, dtype=np.float32) if odo_init is None else np.asarray(
         odo_init, np.float32)
     sc, sd, tc, td = _initialize(
         rgbd_source, rgbd_target, pinhole_camera_intrinsic, odo_init, option)
@@ -159,7 +159,7 @@ def compute_rgbd_odometry(
             jacobian.jac_type, iter_counts[levels - level - 1])
         if not bool(ok):
             console.log_warning("[ComputeOdometry] no solution!")
-            return False, np.eye(4, np.float32), np.zeros((6, 6), np.float32)
+            return False, np.eye(4, dtype=np.float32), np.zeros((6, 6), np.float32)
 
     info = core.information_matrix(
         sd_p[0], td_p[0], jnp.asarray(K_p[0], jnp.float32), T,
@@ -182,7 +182,7 @@ def compute_weighted_rgbd_odometry(
     (is_success, 4x4 transformation, prev_twist, 6x6 information).
     """
     option = option or OdometryOption()
-    odo_init = np.eye(4, np.float32) if odo_init is None else np.asarray(
+    odo_init = np.eye(4, dtype=np.float32) if odo_init is None else np.asarray(
         odo_init, np.float32)
     prev_twist = np.zeros(6, np.float32) if prev_twist is None else np.asarray(
         prev_twist, np.float32)
