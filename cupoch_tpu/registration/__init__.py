@@ -1,5 +1,14 @@
 """Registration pipelines (TPU-native replacement for
 src/cupoch/registration/)."""
+from .fast_global_registration import (
+    FastGlobalRegistrationOption,
+    fast_global_registration,
+)
+from .feature import (
+    Feature,
+    compute_fpfh_feature,
+    correspondences_from_features,
+)
 from .estimation import (
     TransformationEstimation,
     TransformationEstimationPointToPoint,
@@ -16,6 +25,11 @@ from .registration import (
 )
 
 __all__ = [
+    "FastGlobalRegistrationOption",
+    "fast_global_registration",
+    "Feature",
+    "compute_fpfh_feature",
+    "correspondences_from_features",
     "ICPConvergenceCriteria",
     "RegistrationResult",
     "registration_icp",
