@@ -9,12 +9,19 @@ from .feature import (
     compute_fpfh_feature,
     correspondences_from_features,
 )
+from .colored_icp import compute_color_gradient, registration_colored_icp
 from .estimation import (
     TransformationEstimation,
+    TransformationEstimationForColoredICP,
+    TransformationEstimationForGeneralizedICP,
     TransformationEstimationPointToPoint,
     TransformationEstimationPointToPlane,
     TransformationEstimationSymmetricMethod,
     TransformationEstimationType,
+)
+from .generalized_icp import (
+    covariances_from_normals,
+    registration_generalized_icp,
 )
 from .kabsch import kabsch, kabsch_weighted
 from .registration import (
@@ -36,7 +43,13 @@ __all__ = [
     "evaluate_registration",
     "kabsch",
     "kabsch_weighted",
+    "registration_colored_icp",
+    "registration_generalized_icp",
+    "compute_color_gradient",
+    "covariances_from_normals",
     "TransformationEstimation",
+    "TransformationEstimationForColoredICP",
+    "TransformationEstimationForGeneralizedICP",
     "TransformationEstimationPointToPoint",
     "TransformationEstimationPointToPlane",
     "TransformationEstimationSymmetricMethod",

@@ -63,6 +63,31 @@ class TransformationEstimationSymmetricMethod(TransformationEstimation):
         return TransformationEstimationType.SymmetricMethod
 
 
+class TransformationEstimationForColoredICP(TransformationEstimation):
+    """reference: colored_icp.cu:41-66 (lambda clamp included)."""
+
+    def __init__(self, lambda_geometric: float = 0.968,
+                 det_thresh: float = 1e-6):
+        if lambda_geometric < 0.0 or lambda_geometric > 1.0:
+            lambda_geometric = 0.968
+        self.lambda_geometric = float(lambda_geometric)
+        self.det_thresh = det_thresh
+
+    def get_transformation_estimation_type(self):
+        return TransformationEstimationType.ColoredICP
+
+
+class TransformationEstimationForGeneralizedICP(TransformationEstimation):
+    """reference: generalized_icp.h:14-45 (epsilon = covariance along
+    the normal)."""
+
+    def __init__(self, epsilon: float = 1e-3):
+        self.epsilon = float(epsilon)
+
+    def get_transformation_estimation_type(self):
+        return TransformationEstimationType.GeneralizedICP
+
+
 # ---------------------------------------------------------------------------
 # functional update kernels; inputs are gathered correspondence pairs
 # ---------------------------------------------------------------------------
@@ -94,6 +119,62 @@ def update_symmetric(src, dst, dst_normals, src_normals, w) -> jax.Array:
     r = jnp.sum((src - dst) * n, -1)
     J = jnp.concatenate([jnp.cross(src + dst, n), n], -1)
     return _gn_update(J, r, w)
+
+
+def update_colored(src_t, dst, dst_normals, src_intensity, dst_intensity,
+                   dst_grad, w, sqrt_lg, sqrt_lp) -> jax.Array:
+    """Joint geometric + photometric GN step (reference:
+    compute_jacobian_and_residual_functor, colored_icp.cu:150-216).
+    Intensities are precomputed (they are transform-invariant)."""
+    nt = dst_normals
+    d = src_t - dst
+    dn = jnp.sum(d * nt, -1)
+    # geometric row (= point-to-plane scaled by sqrt(lambda_g))
+    r_g = sqrt_lg * dn
+    J_g = sqrt_lg * jnp.concatenate([jnp.cross(src_t, nt), nt], -1)
+    # photometric row: project src into target tangent plane, compare
+    # the gradient-extrapolated target intensity with the source's
+    vs_proj = src_t - dn[:, None] * nt
+    is0_proj = jnp.sum(dst_grad * (vs_proj - dst), -1) + dst_intensity
+    # M = I - nt nt^T projects the gradient into the tangent plane
+    ditM = -(dst_grad - jnp.sum(dst_grad * nt, -1, keepdims=True) * nt)
+    r_p = sqrt_lp * (src_intensity - is0_proj)
+    J_p = sqrt_lp * jnp.concatenate([jnp.cross(src_t, ditM), ditM], -1)
+    J = jnp.concatenate([J_g, J_p], 0)
+    r = jnp.concatenate([r_g, r_p], 0)
+    return _gn_update(J, r, jnp.concatenate([w, w], 0))
+
+
+def update_gicp(src_t, src_cov_t, dst, dst_cov, w) -> jax.Array:
+    """Plane-to-plane Mahalanobis GN step (reference:
+    generalized_icp.cu:64-106). W = sqrtm((Ct + Cs)^-1) whitens the
+    3-row point residual."""
+    from ..utility.eigen import sqrtm_psd3
+
+    d = src_t - dst
+    M_inv = jnp.linalg.inv(dst_cov + src_cov_t)          # [K,3,3]
+    W = sqrtm_psd3(M_inv)
+    # J0 = [-skew(vs) | I]; rows whitened by W
+    K = src_t.shape[0]
+    skew = jnp.zeros((K, 3, 3), src_t.dtype)
+    x, y, z = src_t[:, 0], src_t[:, 1], src_t[:, 2]
+    skew = jnp.stack([
+        jnp.stack([jnp.zeros_like(x), -z, y], -1),
+        jnp.stack([z, jnp.zeros_like(x), -x], -1),
+        jnp.stack([-y, x, jnp.zeros_like(x)], -1),
+    ], 1)
+    J0 = jnp.concatenate([-skew, jnp.broadcast_to(
+        jnp.eye(3, dtype=src_t.dtype), (K, 3, 3))], -1)  # [K,3,6]
+    J = jnp.matmul(W, J0, precision=jax.lax.Precision.HIGHEST)  # [K,3,6]
+    r = jnp.matmul(W, d[..., None],
+                   precision=jax.lax.Precision.HIGHEST)[..., 0]  # [K,3]
+    Jf = (J * w[:, None, None]).reshape(-1, 6)
+    J2 = J.reshape(-1, 6)
+    rf = r.reshape(-1)
+    JTJ = jnp.dot(Jf.T, J2, precision=jax.lax.Precision.HIGHEST)
+    JTr = Jf.T @ rf
+    ok, T = ueigen.solve_jacobian_system(JTJ, JTr)
+    return T
 
 
 UPDATE_FNS = {

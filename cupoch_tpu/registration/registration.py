@@ -22,11 +22,16 @@ from ..knn import bruteforce, gridhash
 from ..utility import console
 from ..utility.shape import bucket_size, pad_axis0, valid_mask
 from ..utility.transforms import transform_points
+from ..utility.transforms import rotate_normals
 from .estimation import (
-    UPDATE_FNS,
     TransformationEstimation,
     TransformationEstimationPointToPoint,
     TransformationEstimationType,
+    update_colored,
+    update_gicp,
+    update_point_to_plane,
+    update_point_to_point,
+    update_symmetric,
 )
 
 
@@ -95,12 +100,19 @@ def _icp_core(
     est_type: TransformationEstimationType,
     max_iteration: int,
     use_grid: bool,
+    aux: Optional[dict] = None,
 ):
+    """``aux`` carries estimator-specific arrays (static presence, so
+    each estimator compiles only what it needs):
+      ColoredICP:     src_intensity [N], tgt_intensity [M],
+                      tgt_color_gradient [M,3], lambda_geometric scalar
+      GeneralizedICP: src_cov [N,3,3], tgt_cov [M,3,3]
+    """
     n_src = jnp.maximum(jnp.sum(src_mask), 1).astype(jnp.float32)
     grid = gridhash.build_grid(tgt, max_dist, mask=tgt_mask) if use_grid else None
     corres_fn = _correspondence_fn(tgt, tgt_mask, max_dist, use_grid, grid)
-    update_fn = UPDATE_FNS[est_type]
     M = tgt.shape[0]
+    aux = aux or {}
 
     def eval_state(T):
         src_t = transform_points(T, src)
@@ -116,6 +128,33 @@ def _icp_core(
 
     src_t0, idx0, ok0, fit0, rmse0 = eval_state(init_T)
 
+    def compute_update(T, src_t, ti, w):
+        # the reference transforms the whole source cloud each iteration
+        # (points AND normals/covariances, geometry_utils.cu); here the
+        # per-iteration rotation of the auxiliaries happens on the fly
+        if est_type == TransformationEstimationType.PointToPoint:
+            return update_point_to_point(src_t, tgt[ti], None, None, w)
+        if est_type == TransformationEstimationType.PointToPlane:
+            return update_point_to_plane(
+                src_t, tgt[ti], tgt_normals[ti], None, w)
+        if est_type == TransformationEstimationType.SymmetricMethod:
+            src_n_t = rotate_normals(T, src_normals)
+            return update_symmetric(
+                src_t, tgt[ti], tgt_normals[ti], src_n_t, w)
+        if est_type == TransformationEstimationType.ColoredICP:
+            return update_colored(
+                src_t, tgt[ti], tgt_normals[ti],
+                aux["src_intensity"], aux["tgt_intensity"][ti],
+                aux["tgt_color_gradient"][ti], w,
+                aux["sqrt_lambda_geometric"], aux["sqrt_lambda_photometric"])
+        if est_type == TransformationEstimationType.GeneralizedICP:
+            R = T[:3, :3]
+            src_cov_t = jnp.einsum(
+                "ij,njk,lk->nil", R, aux["src_cov"], R,
+                precision=jax.lax.Precision.HIGHEST)
+            return update_gicp(src_t, src_cov_t, tgt[ti], aux["tgt_cov"][ti], w)
+        raise ValueError(f"unsupported estimator {est_type}")
+
     def cond(state):
         it, done, *_ = state
         return (it < max_iteration) & (~done)
@@ -126,7 +165,7 @@ def _icp_core(
         ok = idx >= 0
         ti = jnp.clip(idx, 0, M - 1)
         w = ok.astype(jnp.float32)
-        update = update_fn(src_t, tgt[ti], tgt_normals[ti], src_normals, w)
+        update = compute_update(T, src_t, ti, w)
         T = update @ T
         _, idx2, ok2, fit2, rmse2 = eval_state(T)
         converged = (jnp.abs(fit - fit2) < relative_fitness) & (
@@ -185,6 +224,7 @@ def registration_icp(
     need_tgt_normals = est_type in (
         TransformationEstimationType.PointToPlane,
         TransformationEstimationType.SymmetricMethod,
+        TransformationEstimationType.ColoredICP,
     )
     if need_tgt_normals and not target.has_normals():
         console.log_error(
@@ -192,6 +232,44 @@ def registration_icp(
             "require pre-computed target normal vectors.")
     if est_type == TransformationEstimationType.SymmetricMethod and not source.has_normals():
         console.log_error("SymmetricMethod requires source normals.")
+
+    # estimator-specific precomputation (colored_icp.cu:120-148 /
+    # generalized_icp.cu:37-62); arrays are padded alongside the clouds
+    aux = {}
+    cap_src = bucket_size(source.points.shape[0])
+    cap_tgt = bucket_size(target.points.shape[0])
+    if est_type == TransformationEstimationType.ColoredICP:
+        from .colored_icp import compute_color_gradient, intensity
+
+        if not source.has_colors() or not target.has_colors():
+            console.log_error("ColoredICP requires colors on both clouds.")
+        grad = compute_color_gradient(
+            target, max_correspondence_distance * 2.0, 30)
+        lam = estimation.lambda_geometric
+        aux = {
+            "src_intensity": pad_axis0(intensity(source.colors), cap_src),
+            "tgt_intensity": pad_axis0(intensity(target.colors), cap_tgt),
+            "tgt_color_gradient": pad_axis0(grad, cap_tgt),
+            "sqrt_lambda_geometric": jnp.float32(lam) ** 0.5,
+            "sqrt_lambda_photometric": jnp.float32(1.0 - lam) ** 0.5,
+        }
+    elif est_type == TransformationEstimationType.GeneralizedICP:
+        from .generalized_icp import initialize_cloud_for_gicp
+
+        eps = getattr(estimation, "epsilon", 1e-3)
+
+        def _pad_cov(cov, cap):
+            # pad slots get identity: inv(Ct+Cs) must stay finite there
+            # (masked weights zero the contribution, but 0*nan = nan)
+            n = cov.shape[0]
+            padded = pad_axis0(cov, cap)
+            pad_rows = (jnp.arange(cap) >= n)[:, None, None]
+            return padded + pad_rows * jnp.eye(3, dtype=jnp.float32)
+
+        aux = {
+            "src_cov": _pad_cov(initialize_cloud_for_gicp(source, eps), cap_src),
+            "tgt_cov": _pad_cov(initialize_cloud_for_gicp(target, eps), cap_tgt),
+        }
 
     init_T = jnp.eye(4, dtype=jnp.float32) if init is None else jnp.asarray(init, jnp.float32)
     src, src_mask, src_normals = _prep(source, True)
@@ -204,6 +282,7 @@ def registration_icp(
         jnp.float32(criteria.relative_fitness),
         jnp.float32(criteria.relative_rmse),
         est_type, criteria.max_iteration, use_grid,
+        aux=aux,
     )
     console.log_debug("ICP finished after %s iterations", int(it))
     return _make_result(T, idx, fit, rmse, len(source))

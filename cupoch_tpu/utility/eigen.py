@@ -159,3 +159,37 @@ def _any_orthonormal(v: jax.Array) -> jax.Array:
     a = jnp.where(use_ey, ey, ex)
     w = jnp.cross(v, a)
     return w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+
+
+def sqrtm_psd3(A: jax.Array) -> jax.Array:
+    """Symmetric square root of batched PSD 3x3 matrices
+    (reference: utility/eigenvalue.h:33 SqrtMatrix3x3)."""
+    vals, vecs = symeig3x3(A)
+    s = jnp.sqrt(jnp.maximum(vals, 0.0))
+    return jnp.einsum("...ij,...j,...kj->...ik", vecs, s, vecs,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def rotation_e1_to_x(x: jax.Array) -> jax.Array:
+    """Rotation matrices taking e1=(1,0,0) to unit vectors x [...,3]
+    (reference: generalized_icp.cu:18-30 GetRotationFromE1ToX)."""
+    e1 = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], x.dtype), x.shape)
+    v = jnp.cross(e1, x)
+    c = x[..., 0]  # e1 . x
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), x.shape[:-1] + (3, 3))
+    # antiparallel: any 180-degree rotation about an axis orthogonal to e1
+    flip = jnp.broadcast_to(
+        jnp.asarray([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, -1.0]], x.dtype),
+        eye.shape)
+    a, b, cc = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(a)
+    sv = jnp.stack([
+        jnp.stack([zero, -cc, b], -1),
+        jnp.stack([cc, zero, -a], -1),
+        jnp.stack([-b, a, zero], -1),
+    ], -2)
+    factor = 1.0 / jnp.maximum(1.0 + c, 1e-8)
+    sv2 = jnp.matmul(sv, sv, precision=jax.lax.Precision.HIGHEST)
+    R = eye + sv + sv2 * factor[..., None, None]
+    antiparallel = c < -1.0 + 1e-6
+    return jnp.where(antiparallel[..., None, None], flip, R)
