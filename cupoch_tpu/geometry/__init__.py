@@ -1,10 +1,13 @@
 """Geometry containers and per-container algorithms
 (TPU-native replacement for src/cupoch/geometry/)."""
+from . import intersection_test
 from .boundingvolume import AxisAlignedBoundingBox, OrientedBoundingBox
 from .geometry import Geometry, Geometry2D, Geometry3D, GeometryType
 from .image import FilterType, Image, RGBDImage
+from .occupancygrid import OccupancyGrid, OccupancyVoxel
 from .pointcloud import PointCloud
 from .trianglemesh import MeshBase, TriangleMesh
+from .voxelgrid import Voxel, VoxelGrid
 
 # KDTree classes are re-exported here for cupoch API parity
 # (cupoch exposes them under cupoch.geometry as well).
@@ -29,6 +32,11 @@ __all__ = [
     "FilterType",
     "AxisAlignedBoundingBox",
     "OrientedBoundingBox",
+    "Voxel",
+    "VoxelGrid",
+    "OccupancyGrid",
+    "OccupancyVoxel",
+    "intersection_test",
     "KDTreeFlann",
     "KDTreeSearchParam",
     "KDTreeSearchParamKNN",

@@ -359,3 +359,27 @@ def _sample_uniform(v, t, vn, vc, n_points: int, key):
     normals = interp(vn) if vn is not None else None
     colors = interp(vc) if vc is not None else None
     return pts, normals, colors
+
+
+# -- primitive factories (reference: trianglemesh_factory.cu:391-900) -----
+def _bind_factories():
+    from . import trianglemesh_factory as F
+
+    TriangleMesh.create_tetrahedron = staticmethod(F.create_tetrahedron)
+    TriangleMesh.create_octahedron = staticmethod(F.create_octahedron)
+    TriangleMesh.create_icosahedron = staticmethod(F.create_icosahedron)
+    TriangleMesh.create_box = staticmethod(F.create_box)
+    TriangleMesh.create_sphere = staticmethod(F.create_sphere)
+    TriangleMesh.create_half_sphere = staticmethod(F.create_half_sphere)
+    TriangleMesh.create_cylinder = staticmethod(F.create_cylinder)
+    TriangleMesh.create_tube = staticmethod(F.create_tube)
+    TriangleMesh.create_capsule = staticmethod(F.create_capsule)
+    TriangleMesh.create_cone = staticmethod(F.create_cone)
+    TriangleMesh.create_torus = staticmethod(F.create_torus)
+    TriangleMesh.create_arrow = staticmethod(F.create_arrow)
+    TriangleMesh.create_coordinate_frame = staticmethod(
+        F.create_coordinate_frame)
+    TriangleMesh.create_moebius = staticmethod(F.create_moebius)
+
+
+_bind_factories()
