@@ -2,8 +2,11 @@
 (TPU-native replacement for src/cupoch/geometry/)."""
 from . import intersection_test
 from .boundingvolume import AxisAlignedBoundingBox, OrientedBoundingBox
+from .distancetransform import DistanceTransform
 from .geometry import Geometry, Geometry2D, Geometry3D, GeometryType
+from .graph import Graph, SSSPResult
 from .image import FilterType, Image, RGBDImage
+from .lineset import LineSet
 from .occupancygrid import OccupancyGrid, OccupancyVoxel
 from .pointcloud import PointCloud
 from .trianglemesh import MeshBase, TriangleMesh
@@ -36,6 +39,10 @@ __all__ = [
     "VoxelGrid",
     "OccupancyGrid",
     "OccupancyVoxel",
+    "DistanceTransform",
+    "LineSet",
+    "Graph",
+    "SSSPResult",
     "intersection_test",
     "KDTreeFlann",
     "KDTreeSearchParam",
