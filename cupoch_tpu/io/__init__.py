@@ -1,0 +1,33 @@
+"""File and message IO (TPU-native replacement for src/cupoch/io/).
+
+Extension-dispatch readers/writers (reference:
+io/class_io/pointcloud_io.cpp:38-51) + ROS codecs + JSON camera IO.
+"""
+from . import ros
+from .image_io import read_image, write_image
+from .json_io import (
+    read_ijson_convertible_from_json,
+    read_pinhole_camera_intrinsic,
+    read_pinhole_camera_parameters,
+    write_ijson_convertible_to_json,
+    write_pinhole_camera_intrinsic,
+    write_pinhole_camera_parameters,
+)
+from .pointcloud_io import read_point_cloud, write_point_cloud
+from .trianglemesh_io import read_triangle_mesh, write_triangle_mesh
+
+__all__ = [
+    "read_point_cloud",
+    "write_point_cloud",
+    "read_triangle_mesh",
+    "write_triangle_mesh",
+    "read_image",
+    "write_image",
+    "read_pinhole_camera_intrinsic",
+    "write_pinhole_camera_intrinsic",
+    "read_pinhole_camera_parameters",
+    "write_pinhole_camera_parameters",
+    "read_ijson_convertible_from_json",
+    "write_ijson_convertible_to_json",
+    "ros",
+]
