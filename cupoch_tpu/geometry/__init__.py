@@ -6,7 +6,10 @@ from .distancetransform import DistanceTransform
 from .geometry import Geometry, Geometry2D, Geometry3D, GeometryType
 from .graph import Graph, SSSPResult
 from .image import FilterType, Image, RGBDImage
+from .keypoint import compute_iss_keypoints
+from .laserscanbuffer import LaserScanBuffer
 from .lineset import LineSet
+from .map2d import Map2D
 from .occupancygrid import OccupancyGrid, OccupancyVoxel
 from .pointcloud import PointCloud
 from .trianglemesh import MeshBase, TriangleMesh
@@ -40,6 +43,9 @@ __all__ = [
     "OccupancyGrid",
     "OccupancyVoxel",
     "DistanceTransform",
+    "LaserScanBuffer",
+    "Map2D",
+    "compute_iss_keypoints",
     "LineSet",
     "Graph",
     "SSSPResult",

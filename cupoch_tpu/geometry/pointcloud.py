@@ -327,6 +327,49 @@ class PointCloud(Geometry3D):
         )
         return np.asarray(plane), np.nonzero(np.asarray(inl)[: len(self)])[0]
 
+    # -- factories (reference: pointcloud_factory.cu) ---------------------------
+    @staticmethod
+    def create_from_depth_image(depth, intrinsic, extrinsic=None,
+                                depth_scale: float = 1000.0,
+                                depth_trunc: float = 1000.0,
+                                stride: int = 1) -> "PointCloud":
+        from . import pointcloud_factory as factory
+
+        return factory.create_from_depth_image(
+            depth, intrinsic, extrinsic, depth_scale, depth_trunc, stride)
+
+    @staticmethod
+    def create_from_rgbd_image(image, intrinsic, extrinsic=None,
+                               project_valid_depth_only: bool = True,
+                               depth_cutoff: float = -1.0,
+                               compute_normals: bool = False) -> "PointCloud":
+        from . import pointcloud_factory as factory
+
+        return factory.create_from_rgbd_image(
+            image, intrinsic, extrinsic, project_valid_depth_only,
+            depth_cutoff, compute_normals)
+
+    @staticmethod
+    def create_from_laserscanbuffer(scan, min_range: float,
+                                    max_range: float) -> "PointCloud":
+        from . import pointcloud_factory as factory
+
+        return factory.create_from_laserscanbuffer(scan, min_range, max_range)
+
+    @staticmethod
+    def create_from_occupancygrid(occgrid) -> "PointCloud":
+        from . import pointcloud_factory as factory
+
+        return factory.create_from_occupancy_grid(occgrid)
+
+    @staticmethod
+    def create_from_disparity(disp, color, left_intrinsic, right_intrinsic,
+                              baseline: float) -> "PointCloud":
+        from . import pointcloud_factory as factory
+
+        return factory.create_from_disparity(
+            disp, color, left_intrinsic, right_intrinsic, baseline)
+
     # -- numpy bridge ----------------------------------------------------------
     def to_numpy(self) -> np.ndarray:
         return np.asarray(self.points)
