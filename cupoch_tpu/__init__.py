@@ -14,6 +14,10 @@ Usage mirrors cupoch:
 """
 from . import geometry, knn, utility
 
+# installs to_*_dlpack / from_*_dlpack methods on geometry classes
+# (reference: cupoch_pybind/geometry/pointcloud.cpp:82-105)
+from .utility import dl_converter  # noqa: E402  (import for side effect)
+
 __version__ = "0.1.0"
 
 __all__ = ["geometry", "knn", "utility", "__version__"]

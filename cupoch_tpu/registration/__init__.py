@@ -10,6 +10,12 @@ from .feature import (
     correspondences_from_features,
 )
 from .colored_icp import compute_color_gradient, registration_colored_icp
+from .filterreg import (
+    FilterRegOption,
+    FilterRegResult,
+    registration_filterreg,
+)
+from .shot import compute_shot_feature
 from .estimation import (
     TransformationEstimation,
     TransformationEstimationForColoredICP,
@@ -36,6 +42,10 @@ __all__ = [
     "fast_global_registration",
     "Feature",
     "compute_fpfh_feature",
+    "compute_shot_feature",
+    "FilterRegOption",
+    "FilterRegResult",
+    "registration_filterreg",
     "correspondences_from_features",
     "ICPConvergenceCriteria",
     "RegistrationResult",

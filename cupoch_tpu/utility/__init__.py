@@ -6,6 +6,9 @@ remains are the algorithmic building blocks (SE(3) ops, Gauss-Newton
 reductions, tiny eigensolvers), logging, and shape/mask discipline.
 """
 from . import console, eigen, shape, transforms
+
+# dl_converter is imported lazily by cupoch_tpu.__init__ consumers to
+# avoid a geometry<->utility import cycle at package-load time.
 from .console import (
     ConsoleProgressBar,
     VerbosityLevel,
