@@ -18,6 +18,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cupoch_tpu.knn import rollgrid
     from cupoch_tpu.registration.registration import _icp_core
     from cupoch_tpu.registration.estimation import TransformationEstimationType
 
@@ -43,23 +44,32 @@ def main():
     mask_t = jnp.ones(M, bool)
     T0 = jnp.eye(4, dtype=jnp.float32)
 
+    # dense roll-grid correspondence (Pallas-fused on TPU); a frame =
+    # grid build + the full fused ICP loop
+    plan = rollgrid.plan_rollgrid(tgt, 0.05)
+
     def run():
+        grid = rollgrid.build_rollgrid(
+            tgt_j, jnp.asarray(plan["origin"]), plan["cell_size"],
+            plan["dims"], plan["cap"], mask=mask_t)
         T, idx, fit, rmse, it = _icp_core(
             src_j, mask_s, jnp.zeros_like(src_j), tgt_j, mask_t, tn_j, T0,
             jnp.float32(0.05), jnp.float32(0.0), jnp.float32(0.0),
-            TransformationEstimationType.PointToPlane, ITERS, True,
+            TransformationEstimationType.PointToPlane, ITERS, "roll",
+            roll_grid=grid,
         )
         return T, fit, rmse, it
 
-    # warm-up / compile
+    # warm-up / compile. NOTE: block_until_ready does not wait for
+    # execution through the axon tunnel; a host transfer does.
     T, fit, rmse, it = run()
-    T.block_until_ready()
+    _ = float(fit)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         T, fit, rmse, it = run()
-        T.block_until_ready()
+        _ = float(fit)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     frames_per_s = 1.0 / dt

@@ -36,6 +36,7 @@ _LAZY = (
     "visualization",
     "parallel",
     "camera",
+    "slam",
 )
 
 

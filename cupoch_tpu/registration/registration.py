@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..knn import bruteforce, gridhash
+from ..knn import bruteforce, gridhash, rollgrid
 from ..utility import console
 from ..utility.shape import bucket_size, pad_axis0, valid_mask
 from ..utility.transforms import transform_points
@@ -70,8 +70,12 @@ class RegistrationResult:
 _GRID_THRESHOLD = 20000  # below this, brute-force 1-NN is faster than the grid
 
 
-def _correspondence_fn(tgt, tgt_mask, max_dist, use_grid: bool, grid=None):
-    if use_grid:
+def _correspondence_fn(tgt, tgt_mask, max_dist, use_grid, grid=None,
+                       roll_grid=None):
+    if use_grid == "roll":
+        def corres(src_t):
+            return rollgrid.query_nn_rollgrid(roll_grid, src_t, max_dist)
+    elif use_grid:
         def corres(src_t):
             return gridhash.query_nn(grid, src_t, max_dist)
     else:
@@ -99,8 +103,9 @@ def _icp_core(
     relative_rmse: jax.Array,
     est_type: TransformationEstimationType,
     max_iteration: int,
-    use_grid: bool,
+    use_grid,
     aux: Optional[dict] = None,
+    roll_grid=None,
 ):
     """``aux`` carries estimator-specific arrays (static presence, so
     each estimator compiles only what it needs):
@@ -109,8 +114,10 @@ def _icp_core(
       GeneralizedICP: src_cov [N,3,3], tgt_cov [M,3,3]
     """
     n_src = jnp.maximum(jnp.sum(src_mask), 1).astype(jnp.float32)
-    grid = gridhash.build_grid(tgt, max_dist, mask=tgt_mask) if use_grid else None
-    corres_fn = _correspondence_fn(tgt, tgt_mask, max_dist, use_grid, grid)
+    grid = gridhash.build_grid(tgt, max_dist, mask=tgt_mask) \
+        if use_grid is True else None
+    corres_fn = _correspondence_fn(tgt, tgt_mask, max_dist, use_grid, grid,
+                                   roll_grid)
     M = tgt.shape[0]
     aux = aux or {}
 
@@ -206,6 +213,22 @@ def _make_result(T, idx, fit, rmse, n_src):
     return res
 
 
+def _choose_corres(target, tgt_padded, tgt_mask, max_dist):
+    """Pick the correspondence backend: brute force for small targets,
+    the dense roll-grid (Pallas-fused on TPU) when the cloud's extent
+    admits one, hash-grid gathers otherwise."""
+    n = target.points.shape[0]
+    if n <= _GRID_THRESHOLD:
+        return False, None
+    plan = rollgrid.plan_rollgrid(np.asarray(target.points), max_dist)
+    if plan is not None:
+        grid = rollgrid.build_rollgrid(
+            tgt_padded, jnp.asarray(plan["origin"]), plan["cell_size"],
+            plan["dims"], plan["cap"], mask=tgt_mask)
+        return "roll", grid
+    return True, None
+
+
 def registration_icp(
     source,
     target,
@@ -274,7 +297,8 @@ def registration_icp(
     init_T = jnp.eye(4, dtype=jnp.float32) if init is None else jnp.asarray(init, jnp.float32)
     src, src_mask, src_normals = _prep(source, True)
     tgt, tgt_mask, tgt_normals = _prep(target, need_tgt_normals)
-    use_grid = target.points.shape[0] > _GRID_THRESHOLD
+    use_grid, roll_grid = _choose_corres(
+        target, tgt, tgt_mask, max_correspondence_distance)
 
     T, idx, fit, rmse, it = _icp_core(
         src, src_mask, src_normals, tgt, tgt_mask, tgt_normals, init_T,
@@ -282,7 +306,7 @@ def registration_icp(
         jnp.float32(criteria.relative_fitness),
         jnp.float32(criteria.relative_rmse),
         est_type, criteria.max_iteration, use_grid,
-        aux=aux,
+        aux=aux, roll_grid=roll_grid,
     )
     console.log_debug("ICP finished after %s iterations", int(it))
     return _make_result(T, idx, fit, rmse, len(source))
@@ -296,7 +320,8 @@ def evaluate_registration(
         transformation, jnp.float32)
     src, src_mask, _ = _prep(source, False)
     tgt, tgt_mask, _ = _prep(target, False)
-    use_grid = target.points.shape[0] > _GRID_THRESHOLD
+    use_grid, roll_grid = _choose_corres(
+        target, tgt, tgt_mask, max_correspondence_distance)
 
     T_out, idx, fit, rmse, _ = _icp_core(
         src, src_mask, jnp.zeros_like(src), tgt, tgt_mask,
@@ -304,5 +329,6 @@ def evaluate_registration(
         jnp.float32(max_correspondence_distance),
         jnp.float32(0.0), jnp.float32(0.0),
         TransformationEstimationType.PointToPoint, 0, use_grid,
+        roll_grid=roll_grid,
     )
     return _make_result(T_out, idx, fit, rmse, len(source))

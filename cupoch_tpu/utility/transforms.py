@@ -50,18 +50,37 @@ def exp_so3(w: jax.Array) -> jax.Array:
 
 
 def log_so3(R: jax.Array) -> jax.Array:
-    """Inverse of exp_so3 (angle in [0, pi))."""
+    """Inverse of exp_so3 (angle in [0, pi)).
+
+    Autodiff-safe: every non-selected `where` branch is evaluated on
+    sanitised inputs (the double-where trick), so jacobians through
+    log_so3 stay finite at theta = 0 — required by the pose-graph GN
+    (slam/pose_graph.py uses jacfwd through this)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos)
+    # NOTE: 1-1e-8 is not representable in float32 (rounds to 1.0,
+    # which would never trigger); 1e-6 gives theta < ~1.4e-3 where the
+    # scale=1 approximation is accurate to ~3e-7
+    small = cos > 1.0 - 1e-6
+    # arccos gradient blows up at cos=1; feed it a safe value there and
+    # never use that branch's output for small angles
+    cos_safe = jnp.where(small, 0.0, cos)
+    theta = jnp.where(small, 0.0, jnp.arccos(cos_safe))
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
-    sin = jnp.sin(theta)
-    scale = jnp.where(theta[..., None] < 1e-5, 1.0 + theta[..., None] ** 2 / 6.0,
-                      theta[..., None] / jnp.maximum(sin[..., None], _EPS))
+    sin_safe = jnp.where(small, 1.0, jnp.sin(theta))
+    # theta/sin(theta) -> 1 as theta -> 0 (w itself is exact to O(θ³))
+    scale = jnp.where(small[..., None], 1.0,
+                      theta[..., None]
+                      / jnp.where(jnp.abs(sin_safe) < _EPS, _EPS,
+                                  sin_safe)[..., None])
     # near pi the above is ill-conditioned; fall back to diagonal method
     near_pi = theta > 3.0
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], -1)
-    axis_sq = jnp.clip((diag - cos[..., None]) / jnp.maximum(1.0 - cos[..., None], _EPS), 0, None)
+    axis_sq = jnp.clip(
+        (diag - cos[..., None])
+        / jnp.maximum(1.0 - cos[..., None], _EPS), 0, None)
+    # sqrt gradient at 0 is inf; sanitise where the branch is unused
+    axis_sq = jnp.where(near_pi[..., None], axis_sq, 1.0)
     axis = jnp.sqrt(axis_sq)
     signs = jnp.stack(
         [
@@ -95,16 +114,20 @@ def exp_se3(xi: jax.Array) -> jax.Array:
 
 
 def log_se3(T: jax.Array) -> jax.Array:
+    """Autodiff-safe (see log_so3): the large-angle branch is evaluated
+    on sanitised theta so jacobians stay finite at identity."""
     R, t = T[..., :3, :3], T[..., :3, 3]
     w = log_so3(R)
     theta2 = jnp.sum(w * w, -1, keepdims=True)[..., None]
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     W = hat(w)
     small = theta2 < _EPS
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     half_cot = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - 0.5 * theta * jnp.sin(theta) / jnp.maximum(1.0 - jnp.cos(theta), _EPS)) / theta2,
+        (1.0 - 0.5 * theta * jnp.sin(theta)
+         / jnp.maximum(1.0 - jnp.cos(theta), _EPS)) / theta2_safe,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), R.shape)
     Vinv = eye - 0.5 * W + half_cot * (W @ W)
