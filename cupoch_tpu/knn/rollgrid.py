@@ -124,21 +124,26 @@ def _bin_points(points, origin, cell_size, dims, cap, mask=None):
         inb = inb & mask
     lin = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
     lin = jnp.where(inb, lin, C)
-    # rank of each point within its cell: stable sort by cell id, then
-    # subtract the segment start
-    order = jnp.argsort(lin).astype(jnp.int32)
-    lin_sorted = lin[order]
+    # rank of each point within its cell: one stable multi-operand sort
+    # carries the payloads (no post-sort gathers), then subtract the
+    # segment start
     pos = jnp.arange(N, dtype=jnp.int32)
-    seg_start = jnp.full(C + 2, N, jnp.int32).at[lin_sorted].min(
-        pos, mode="drop")
-    rank = pos - seg_start[lin_sorted]
+    lin_sorted, order, px, py, pz = jax.lax.sort(
+        (lin, pos, points[:, 0], points[:, 1], points[:, 2]),
+        num_keys=1, is_stable=True)
+    # rank within segment via a cummax scan over segment starts — much
+    # cheaper than a scatter-min + gather round-trip
+    boundary = jnp.concatenate([
+        jnp.ones(1, bool), lin_sorted[1:] != lin_sorted[:-1]])
+    seg_start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, pos, 0))
+    rank = pos - seg_start_pos
     ok = (lin_sorted < C) & (rank < cap)
     slot = jnp.where(ok, lin_sorted * cap + rank, C * cap)
-    pts_sorted = points[order]
     coords = []
-    for k in range(3):
+    for arr in (px, py, pz):
         coords.append(jnp.full(C * cap + 1, jnp.inf, jnp.float32)
-                      .at[slot].set(pts_sorted[:, k], mode="drop")[:-1])
+                      .at[slot].set(arr, mode="drop")[:-1])
     soa = jnp.stack(coords, 0).reshape(3, C, cap)
     index = jnp.full(C * cap + 1, INVALID_INDEX, jnp.int32).at[slot].set(
         order, mode="drop")[:-1].reshape(C, cap)
@@ -193,18 +198,15 @@ def _nn_reduce_kernel(r2_ref, q_ref, c_ref, ci_ref, oi_ref, od_ref):
     dy = q_ref[:, 1, :][:, :, None] - c_ref[:, 1, :][:, None, :]
     dz = q_ref[:, 2, :][:, :, None] - c_ref[:, 2, :][:, None, :]
     d2 = dx * dx + dy * dy + dz * dz          # [TC, qcap, KC]
-    inf = jnp.float32(jnp.inf)
-    bad = (ci < 0)[:, None, :] | (d2 > r2)
-    d2 = jnp.where(bad, inf, d2)
+    # empty slots sit at +BIG so their distances blow past r2 — no
+    # separate validity compare needed; index selection is a masked
+    # min (ties -> smallest candidate index, matching brute force)
     bd2 = jnp.min(d2, axis=-1)                # [TC, qcap]
-    best = jnp.argmin(d2, axis=-1)            # [TC, qcap]
-    # gather-free lane select: one-hot against iota
-    KC = d2.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
-    sel = lane == best[..., None]
-    bidx = jnp.max(jnp.where(sel, ci[:, None, :], INVALID_INDEX), -1)
-    oi_ref[:] = jnp.where(jnp.isfinite(bd2), bidx, INVALID_INDEX)
-    od_ref[:] = bd2
+    sel = (d2 <= bd2[..., None]) & (d2 <= r2)
+    bidx = jnp.min(jnp.where(sel, ci[:, None, :], jnp.int32(1 << 30)), -1)
+    ok = bd2 <= r2
+    oi_ref[:] = jnp.where(ok, bidx, INVALID_INDEX)
+    od_ref[:] = jnp.where(ok, bd2, jnp.float32(jnp.inf))
 
 
 def _nn_reduce_pallas(q_soa, cand, cidx, r2, tile_cells: int):
@@ -246,12 +248,13 @@ def _nn_reduce_xla(q_soa, cand, cidx, r2, tile_cells: int):
         dy = q[:, 1, :, None] - c[:, 1, None, :]
         dz = q[:, 2, :, None] - c[:, 2, None, :]
         d2 = dx * dx + dy * dy + dz * dz
-        bad = (ci < 0)[:, None, :] | (d2 > r2)
-        d2 = jnp.where(bad, jnp.inf, d2)
-        best = jnp.argmin(d2, -1)
-        bd2 = jnp.take_along_axis(d2, best[..., None], -1)[..., 0]
-        bidx = jnp.take_along_axis(ci, best, -1)
-        return jnp.where(jnp.isfinite(bd2), bidx, INVALID_INDEX), bd2
+        bd2 = jnp.min(d2, -1)
+        sel = (d2 <= bd2[..., None]) & (d2 <= r2)
+        bidx = jnp.min(jnp.where(sel, ci[:, None, :], jnp.int32(1 << 30)),
+                       -1)
+        ok = bd2 <= r2
+        return (jnp.where(ok, bidx, INVALID_INDEX),
+                jnp.where(ok, bd2, jnp.inf))
 
     n_tiles = C // tile_cells
     bidx, bd2 = jax.lax.map(
