@@ -67,7 +67,7 @@ jax.tree_util.register_pytree_node(RollGrid, _rollgrid_flatten,
 
 def plan_rollgrid(points: np.ndarray, radius: float,
                   max_cells: int = 2_000_000,
-                  cap_limit: int = 512,
+                  cap_limit: int = 128,
                   cap_percentile: float = 99.5) -> Optional[dict]:
     """Host-side sizing: grid dims (with ghost shell), origin, cap.
 
@@ -102,7 +102,11 @@ def plan_rollgrid(points: np.ndarray, radius: float,
     occupied = counts[counts > 0]
     cap = int(np.percentile(occupied, cap_percentile)) \
         if occupied.size else 8
-    cap = min(max(cap, 1), cap_limit)
+    if cap > cap_limit:
+        # extremely dense cells (e.g. surface clouds at coarse radius):
+        # the padded per-cell scheme would waste cap² compute — let the
+        # caller fall back to the hash-grid path instead
+        return None
     cap = max(8, _round_up(cap, 8))
     origin = (lo - cell).astype(np.float32)
     return {"dims": dims, "origin": origin, "cap": cap,
