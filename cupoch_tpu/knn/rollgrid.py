@@ -68,7 +68,8 @@ jax.tree_util.register_pytree_node(RollGrid, _rollgrid_flatten,
 def plan_rollgrid(points: np.ndarray, radius: float,
                   max_cells: int = 2_000_000,
                   cap_limit: int = 128,
-                  cap_percentile: float = 99.5) -> Optional[dict]:
+                  cap_percentile: float = 99.5,
+                  mem_budget_bytes: int = 3 << 30) -> Optional[dict]:
     """Host-side sizing: grid dims (with ghost shell), origin, cap.
 
     Returns None when a dense grid is unreasonable for this cloud
@@ -90,7 +91,9 @@ def plan_rollgrid(points: np.ndarray, radius: float,
     if cell <= 0:
         return None
     dims_core = np.maximum(1, np.ceil((hi - lo) / cell + 1e-6).astype(int))
-    dims = tuple(int(d) + 2 for d in dims_core)
+    # ghost shell +2; round odd dims up so every dim is even => the
+    # cell count is divisible by 8, which the Pallas tiling requires
+    dims = tuple(int(d) + 2 + (int(d) % 2) for d in dims_core)
     n_cells = int(np.prod(dims))
     if n_cells > max_cells:
         return None
@@ -108,6 +111,12 @@ def plan_rollgrid(points: np.ndarray, radius: float,
         # caller fall back to the hash-grid path instead
         return None
     cap = max(8, _round_up(cap, 8))
+    # the precomputed neighborhood tensor is C x 4 channels x 27*cap
+    # f32 — refuse plans whose resident grid would crowd out HBM
+    kc = _round_up(27 * cap, 128)
+    grid_bytes = n_cells * 4 * kc * 4
+    if grid_bytes > mem_budget_bytes:
+        return None
     origin = (lo - cell).astype(np.float32)
     return {"dims": dims, "origin": origin, "cap": cap,
             "cell_size": np.float32(cell)}
@@ -269,10 +278,15 @@ def _nn_reduce_xla(q_soa, cand, cidx, r2, tile_cells: int):
 
 
 def _pick_tile(C: int, qcap: int, KC: int) -> int:
-    """Largest power-of-two tile whose d2 block stays within ~2 MB of
-    VMEM and divides C (C is always even³ thanks to the ghost shell)."""
+    """Largest power-of-two multiple-of-8 tile whose d2 block stays
+    within ~2 MB of VMEM and divides C. Mosaic requires the
+    second-to-last block dim be a multiple of 8; plan_rollgrid makes
+    every grid dim even so C divides by 8. Returns 0 when no legal
+    tile exists (callers fall back to the XLA reduce)."""
+    if C % 8 != 0:
+        return 0
     budget = max(1, (1 << 19) // max(1, qcap * KC))  # f32 elements
-    tile = 1
+    tile = 8
     while tile * 2 <= budget and C % (tile * 2) == 0:
         tile *= 2
     return tile
@@ -300,6 +314,9 @@ def query_nn_rollgrid(grid: RollGrid, queries, radius,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     tile = _pick_tile(C, qcap, KC)
+    if tile == 0:
+        use_pallas = False
+        tile = next(t for t in (4, 2, 1) if C % t == 0)
     reduce_fn = _nn_reduce_pallas if use_pallas else _nn_reduce_xla
     bidx, bd2 = reduce_fn(q_soa, grid.cand, grid.cand_idx, r2, tile)
     flat_qidx = q_index.reshape(-1)
