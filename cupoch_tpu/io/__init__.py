@@ -14,6 +14,7 @@ from .json_io import (
     write_pinhole_camera_parameters,
 )
 from .pointcloud_io import read_point_cloud, write_point_cloud
+from .trajectory_io import read_trajectory_log, write_trajectory_log
 from .trianglemesh_io import read_triangle_mesh, write_triangle_mesh
 
 __all__ = [
@@ -29,5 +30,7 @@ __all__ = [
     "write_pinhole_camera_parameters",
     "read_ijson_convertible_from_json",
     "write_ijson_convertible_to_json",
+    "read_trajectory_log",
+    "write_trajectory_log",
     "ros",
 ]
