@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..knn import bruteforce, gridhash, rollgrid
+from ..knn import bruteforce, cellgrid, gridhash, rollgrid
 from ..utility import console
 from ..utility.shape import bucket_size, pad_axis0, valid_mask
 from ..utility.transforms import transform_points
@@ -75,6 +75,9 @@ def _correspondence_fn(tgt, tgt_mask, max_dist, use_grid, grid=None,
     if use_grid == "roll":
         def corres(src_t):
             return rollgrid.query_nn_rollgrid(roll_grid, src_t, max_dist)
+    elif use_grid == "cell":
+        def corres(src_t):
+            return cellgrid.query_nn_cellgrid(roll_grid, src_t, max_dist)
     elif use_grid:
         def corres(src_t):
             return gridhash.query_nn(grid, src_t, max_dist)
@@ -215,17 +218,26 @@ def _make_result(T, idx, fit, rmse, n_src):
 
 def _choose_corres(target, tgt_padded, tgt_mask, max_dist):
     """Pick the correspondence backend: brute force for small targets,
-    the dense roll-grid (Pallas-fused on TPU) when the cloud's extent
-    admits one, hash-grid gathers otherwise."""
+    the dense roll-grid for compact volumes, the active-cell compacted
+    grid for sparse/surface clouds (both Pallas-fused on TPU),
+    hash-grid gathers as the last resort."""
     n = target.points.shape[0]
     if n <= _GRID_THRESHOLD:
         return False, None
-    plan = rollgrid.plan_rollgrid(np.asarray(target.points), max_dist)
+    pts_np = np.asarray(target.points)
+    plan = rollgrid.plan_rollgrid(pts_np, max_dist)
     if plan is not None:
         grid = rollgrid.build_rollgrid(
             tgt_padded, jnp.asarray(plan["origin"]), plan["cell_size"],
             plan["dims"], plan["cap"], mask=tgt_mask)
         return "roll", grid
+    cplan = cellgrid.plan_cellgrid(pts_np, max_dist)
+    if cplan is not None:
+        grid = cellgrid.build_cellgrid(
+            tgt_padded, jnp.asarray(cplan["origin"]), cplan["cell_size"],
+            jnp.asarray(cplan["active"]), cplan["dims"], cplan["cap"],
+            cplan["n_active"], mask=tgt_mask)
+        return "cell", grid
     return True, None
 
 

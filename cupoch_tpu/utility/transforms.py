@@ -246,10 +246,16 @@ def quaternion_from_rotation(R: jax.Array) -> jax.Array:
 
 def transform_points(T: jax.Array, points: jax.Array) -> jax.Array:
     """Apply 4x4 transform to [N,3] points (reference:
-    src/cupoch/geometry/geometry_utils.cu TransformPoints)."""
-    return points @ T[:3, :3].T + T[:3, 3]
+    src/cupoch/geometry/geometry_utils.cu TransformPoints).
+
+    HIGHEST precision: the TPU MXU's default bf16 passes would put
+    ~1e-3 relative error on coordinates, which shifts correspondence
+    distances by more than typical ICP thresholds."""
+    return jnp.dot(points, T[:3, :3].T,
+                   precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
 
 
 def rotate_normals(T_or_R: jax.Array, normals: jax.Array) -> jax.Array:
     R = T_or_R[..., :3, :3]
-    return normals @ R.T
+    return jnp.dot(normals, jnp.swapaxes(R, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST)
