@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..knn import bruteforce, cellgrid, gridhash, rollgrid
+from ..knn import bruteforce, cellgrid, gridhash, packgrid, rollgrid
 from ..utility import console
 from ..utility.shape import bucket_size, pad_axis0, valid_mask
 from ..utility.transforms import transform_points
@@ -309,6 +309,38 @@ def registration_icp(
     init_T = jnp.eye(4, dtype=jnp.float32) if init is None else jnp.asarray(init, jnp.float32)
     src, src_mask, src_normals = _prep(source, True)
     tgt, tgt_mask, tgt_normals = _prep(target, need_tgt_normals)
+
+    # fast path: fused packed-grid loop (pt2pt / pt2plane / symmetric)
+    if est_type in (TransformationEstimationType.PointToPoint,
+                    TransformationEstimationType.PointToPlane,
+                    TransformationEstimationType.SymmetricMethod) \
+            and target.points.shape[0] > _GRID_THRESHOLD:
+        from . import packed_icp
+
+        src_np = np.asarray(source.points)
+        initn = np.asarray(init_T)
+        src_np_t = src_np @ initn[:3, :3].T + initn[:3, 3]
+        attrs, nch = packed_icp.make_target_attrs(
+            est_type, tgt, tgt_normals)
+        plan = packgrid.plan_packgrid(
+            np.asarray(target.points), max_correspondence_distance,
+            query_points=src_np_t, nch=nch)
+        if plan is not None:
+            grid = packgrid.make_packgrid(
+                tgt, attrs, plan["origin"], plan["cell_size"],
+                plan["dims"], plan["cap"], plan["kc"], plan["l1"],
+                mask=tgt_mask)
+            T, idx, fit, rmse, it = packed_icp.icp_core_packed(
+                src, src_mask, src_normals, grid, init_T,
+                jnp.float32(max_correspondence_distance),
+                plan["rebin_margin"],
+                jnp.float32(criteria.relative_fitness),
+                jnp.float32(criteria.relative_rmse),
+                plan["qcap"], est_type, criteria.max_iteration)
+            console.log_debug("packed ICP finished after %s iterations",
+                              int(it))
+            return _make_result(T, idx, fit, rmse, len(source))
+
     use_grid, roll_grid = _choose_corres(
         target, tgt, tgt_mask, max_correspondence_distance)
 
