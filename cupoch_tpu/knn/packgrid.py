@@ -96,7 +96,7 @@ jax.tree_util.register_pytree_node(PackGrid, _packgrid_flatten,
 
 # tile of cells processed per Pallas program; the [T, qcap, L] score
 # block must stay ~2 MB of VMEM
-_TILE_BUDGET = 16384  # T * max(L1, KC - L1) elements per qcap row
+_TILE_BUDGET = 8192  # T * max(L1, KC - L1) elements per qcap row
 
 
 def _pick_tile(c_cells: int, l_max: int) -> int:
