@@ -11,7 +11,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from . import bruteforce, gridhash
+from . import bruteforce, gridhash, rungrid
 from .bruteforce import hybrid_search, knn_search, nn_search
 from .gridhash import HashGrid, build_grid, query_hybrid, query_nn, query_radius_count
 
@@ -69,11 +69,22 @@ def search_neighbors(
     data = jnp.asarray(data, jnp.float32)
     st = param.get_search_type()
     if st == KDTreeSearchParam.SearchType.Knn:
+        if data.shape[0] > _BRUTE_FORCE_LIMIT:
+            out = rungrid.knn_search_grid(
+                np.asarray(queries), np.asarray(data), param.knn,
+                data_mask=data_mask)
+            if out is not None:
+                return out
         return bruteforce.knn_search(queries, data, param.knn, data_mask=data_mask)
     radius, max_nn = param.radius, param.max_nn
     if data.shape[0] <= _BRUTE_FORCE_LIMIT:
         idx, d2, _ = bruteforce.hybrid_search(queries, data, radius, max_nn, data_mask=data_mask)
         return idx, d2
+    out = rungrid.knn_search_grid(
+        np.asarray(queries), np.asarray(data), max_nn, radius=radius,
+        data_mask=data_mask)
+    if out is not None:
+        return out
     grid = gridhash.build_grid(data, radius, mask=data_mask)
     idx, d2, _ = gridhash.query_hybrid(grid, queries, radius, max_nn)
     return idx, d2

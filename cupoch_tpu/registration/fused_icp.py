@@ -1,0 +1,211 @@
+"""Fully-fused ICP loop over the run-structured grid.
+
+reference: RegistrationICP loop, registration.cu:121-173.  The whole
+loop compiles to ONE XLA program; each iteration is a single Pallas
+pass (knn/rungrid.py) that finds correspondences AND reduces the
+Gauss-Newton normal equations to 32 floats per tile, followed by a
+6x6 on-device solve.  Queries are re-binned (one sort) only when the
+accumulated rigid motion since the last binning exceeds the grid's
+planned margin; the bound used is max over the source AABB corners of
+|(T - T_bin) x|, exact for rigid transforms because the displacement
+is affine in x.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..knn import rungrid
+from ..utility import eigen as ueigen
+from ..utility.transforms import make_transform, transform_points
+from .estimation import TransformationEstimationType
+
+
+def _displacement_bound(T, T_bin, corners):
+    """max_x in AABB |(T - T_bin) @ [x,1]| — affine in x, so the max
+    over the box is attained at a corner. corners: [8, 3]."""
+    D = T - T_bin
+    d = corners @ D[:3, :3].T + D[:3, 3]
+    return jnp.sqrt(jnp.max(jnp.sum(d * d, -1)))
+
+
+def _aabb_corners(src, src_mask):
+    big = jnp.float32(1e30)
+    lo = jnp.min(jnp.where(src_mask[:, None], src, big), 0)
+    hi = jnp.max(jnp.where(src_mask[:, None], src, -big), 0)
+    return jnp.stack([
+        jnp.stack([jnp.where(i & 1, hi[0], lo[0]),
+                   jnp.where(i & 2, hi[1], lo[1]),
+                   jnp.where(i & 4, hi[2], lo[2])])
+        for i in range(8)])
+
+
+def _est_code(est_type: TransformationEstimationType) -> int:
+    return {
+        TransformationEstimationType.PointToPoint: rungrid.EST_PT2PT,
+        TransformationEstimationType.PointToPlane: rungrid.EST_PT2PL,
+        TransformationEstimationType.SymmetricMethod: rungrid.EST_SYM,
+    }[est_type]
+
+
+def make_target_attrs(est_type, tgt_pts, tgt_normals):
+    """Per-target attribute channels for the rungrid kernel (target
+    point coordinates ride in the grid's own candidate channels)."""
+    if est_type == TransformationEstimationType.PointToPoint:
+        return jnp.zeros((tgt_pts.shape[0], 0), jnp.float32), False
+    if est_type == TransformationEstimationType.PointToPlane:
+        d = jnp.sum(tgt_normals * tgt_pts, -1, keepdims=True)
+        return jnp.concatenate([tgt_normals, d], -1), True
+    if est_type == TransformationEstimationType.SymmetricMethod:
+        return tgt_normals, False
+    raise ValueError(f"unsupported estimator {est_type}")
+
+
+def kabsch_from_sums(sums) -> jax.Array:
+    """Weighted Kabsch update from the kernel's sufficient statistics
+    (slot layout: rungrid N_SUMS comment).  Mirrors
+    kabsch.kabsch_weighted but over precomputed reductions."""
+    cnt = jnp.maximum(sums[0], 1e-12)
+    t_mean = sums[1:4] / cnt
+    p_mean = sums[4:7] / cnt
+    Stp = sums[7:16].reshape(3, 3)
+    H = Stp / cnt - jnp.outer(t_mean, p_mean)
+    U, S, Vt = jnp.linalg.svd(H)
+    V = Vt.T
+    det = jnp.linalg.det(V @ U.T)
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(det)
+    R = V @ D @ U.T
+    t = p_mean - R @ t_mean
+    T = make_transform(R, t)
+    ok = (sums[0] >= 3) & jnp.all(jnp.isfinite(T))
+    return jnp.where(ok, T, jnp.eye(4, dtype=jnp.float32))
+
+
+def gn_from_sums(sums) -> jax.Array:
+    """6-DoF GN update from the kernel's JTJ/JTr partial sums."""
+    iu = jnp.asarray(np.triu_indices(6))
+    JTJ = jnp.zeros((6, 6), jnp.float32).at[iu[0], iu[1]].set(sums[:21])
+    JTJ = JTJ + jnp.triu(JTJ, 1).T
+    JTr = sums[21:27]
+    ok, T = ueigen.solve_jacobian_system(JTJ, JTr)
+    return T
+
+
+def _update_from_sums(est_type, sums):
+    if est_type == TransformationEstimationType.PointToPoint:
+        return kabsch_from_sums(sums)
+    return gn_from_sums(sums)
+
+
+def _stats_from_sums(est_type, sums, n_src):
+    if est_type == TransformationEstimationType.PointToPoint:
+        cnt, err = sums[0], sums[16]
+    else:
+        cnt, err = sums[27], sums[28]
+    fit = cnt / n_src
+    rmse = jnp.sqrt(err / jnp.maximum(cnt, 1.0))
+    rmse = jnp.where(cnt > 0, rmse, 0.0)
+    return fit, rmse
+
+
+@partial(jax.jit, static_argnames=(
+    "qcap", "est_type", "max_iteration", "use_pallas"))
+def icp_core_rungrid(
+    src: jax.Array,            # [Np, 3] padded source points
+    src_mask: jax.Array,       # [Np]
+    src_normals: jax.Array,    # [Np, 3] (used by symmetric only)
+    grid: rungrid.RunGrid,
+    init_T: jax.Array,
+    max_dist: jax.Array,
+    rebin_margin: jax.Array,
+    relative_fitness: jax.Array,
+    relative_rmse: jax.Array,
+    qcap: int,
+    est_type: TransformationEstimationType,
+    max_iteration: int,
+    use_pallas: Optional[bool] = None,
+):
+    """Returns (T, idx [Np] int32, fitness, inlier_rmse, iterations)."""
+    Np = src.shape[0]
+    est = _est_code(est_type)
+    n_src = jnp.maximum(jnp.sum(src_mask), 1).astype(jnp.float32)
+    need_src_normals = (
+        est_type == TransformationEstimationType.SymmetricMethod)
+    n_extra = 3 if need_src_normals else 0
+    corners = _aabb_corners(src, src_mask)
+    r2 = jnp.asarray(max_dist, jnp.float32) ** 2
+
+    def rebin(T):
+        pos = transform_points(T, src)
+        return rungrid.bin_queries(
+            src, pos, grid.origin, grid.cell_size, grid.dims, qcap,
+            extra=src_normals if need_src_normals else None,
+            n_extra=n_extra, mask=src_mask)
+
+    def gn_pass(T, qsoa, qidx):
+        params = rungrid.make_params(T, r2, grid.origin, grid.cell_size)
+        partial_sums = rungrid.fused_query(
+            grid, qsoa, qidx, params, est, False, use_pallas=use_pallas)
+        return jnp.sum(partial_sums, 0)
+
+    qsoa0, qidx0 = rebin(init_T)
+
+    def cond(state):
+        it, done, *_ = state
+        return (it < max_iteration) & (~done)
+
+    def body(state):
+        it, done, T, T_bin, qsoa, qidx, fit, rmse = state
+        disp = _displacement_bound(T, T_bin, corners)
+        qsoa, qidx, T_bin = jax.lax.cond(
+            disp > rebin_margin,
+            lambda _: rebin(T) + (T,),
+            lambda _: (qsoa, qidx, T_bin), None)
+        sums = gn_pass(T, qsoa, qidx)
+        fit2, rmse2 = _stats_from_sums(est_type, sums, n_src)
+        converged = (jnp.abs(fit - fit2) < relative_fitness) & (
+            jnp.abs(rmse - rmse2) < relative_rmse) & (it > 0)
+        U = _update_from_sums(est_type, sums)
+        T_new = jnp.where(converged, T, U @ T)
+        return (it + 1, converged, T_new, T_bin, qsoa, qidx,
+                fit2, rmse2)
+
+    state0 = (jnp.int32(0), jnp.bool_(False),
+              init_T.astype(jnp.float32), init_T.astype(jnp.float32),
+              qsoa0, qidx0, jnp.float32(-1.0), jnp.float32(-1.0))
+    it, _, T, T_bin, qsoa, qidx, _, _ = jax.lax.while_loop(
+        cond, body, state0)
+
+    # final evaluation at the returned transform (matches the
+    # reference: result metrics always correspond to the returned T)
+    disp = _displacement_bound(T, T_bin, corners)
+    qsoa, qidx = jax.lax.cond(
+        disp > rebin_margin, lambda _: rebin(T),
+        lambda _: (qsoa, qidx), None)
+    params = rungrid.make_params(T, r2, grid.origin, grid.cell_size)
+    d2, nidx = rungrid.fused_query(grid, qsoa, qidx, params,
+                                   rungrid.EST_NONE, True,
+                                   use_pallas=use_pallas)
+    ok = jnp.isfinite(d2) & (qidx >= 0)
+    w = ok.astype(jnp.float32)
+    cnt = jnp.sum(w)
+    fit = cnt / n_src
+    err = jnp.sum(jnp.where(ok, d2, 0.0))
+    rmse = jnp.sqrt(err / jnp.maximum(cnt, 1.0))
+    rmse = jnp.where(cnt > 0, rmse, 0.0)
+
+    # scatter correspondence indices back to source order
+    idx_bin = jnp.where(ok, -nidx, float(rungrid.INVALID_INDEX)) \
+        .astype(jnp.int32)
+    flat_q = qidx.reshape(-1)
+    okq = flat_q >= 0
+    slot = jnp.where(okq, flat_q, Np)
+    idx_src = jnp.full((Np + 1,), rungrid.INVALID_INDEX, jnp.int32) \
+        .at[slot].set(jnp.where(okq, idx_bin.reshape(-1),
+                                rungrid.INVALID_INDEX),
+                      mode="drop")[:Np]
+    return T, idx_src, fit, rmse, it

@@ -310,34 +310,37 @@ def registration_icp(
     src, src_mask, src_normals = _prep(source, True)
     tgt, tgt_mask, tgt_normals = _prep(target, need_tgt_normals)
 
-    # fast path: fused packed-grid loop (pt2pt / pt2plane / symmetric)
+    # fast path: fully-fused run-grid loop (pt2pt / pt2plane /
+    # symmetric); each iteration is one Pallas pass that does the
+    # correspondence AND the Gauss-Newton reduction (fused_icp.py)
     if est_type in (TransformationEstimationType.PointToPoint,
                     TransformationEstimationType.PointToPlane,
                     TransformationEstimationType.SymmetricMethod) \
             and target.points.shape[0] > _GRID_THRESHOLD:
-        from . import packed_icp
+        from . import fused_icp
+        from ..knn import rungrid
 
         src_np = np.asarray(source.points)
         initn = np.asarray(init_T)
         src_np_t = src_np @ initn[:3, :3].T + initn[:3, 3]
-        attrs, nch = packed_icp.make_target_attrs(
+        attrs, plane_offset = fused_icp.make_target_attrs(
             est_type, tgt, tgt_normals)
-        plan = packgrid.plan_packgrid(
+        plan = rungrid.plan_rungrid(
             np.asarray(target.points), max_correspondence_distance,
-            query_points=src_np_t, nch=nch)
+            query_points=src_np_t, nch=attrs.shape[1])
         if plan is not None:
-            grid = packgrid.make_packgrid(
+            grid = rungrid.make_rungrid(
                 tgt, attrs, plan["origin"], plan["cell_size"],
-                plan["dims"], plan["cap"], plan["kc"], plan["l1"],
-                mask=tgt_mask)
-            T, idx, fit, rmse, it = packed_icp.icp_core_packed(
+                plan["dims"], plan["cap"], mask=tgt_mask,
+                plane_offset=plane_offset)
+            T, idx, fit, rmse, it = fused_icp.icp_core_rungrid(
                 src, src_mask, src_normals, grid, init_T,
                 jnp.float32(max_correspondence_distance),
                 plan["rebin_margin"],
                 jnp.float32(criteria.relative_fitness),
                 jnp.float32(criteria.relative_rmse),
                 plan["qcap"], est_type, criteria.max_iteration)
-            console.log_debug("packed ICP finished after %s iterations",
+            console.log_debug("fused ICP finished after %s iterations",
                               int(it))
             return _make_result(T, idx, fit, rmse, len(source))
 
