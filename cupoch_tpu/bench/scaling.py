@@ -2,10 +2,12 @@
 (BASELINE.md: report frames/s scaling efficiency at 1 chip / 1 host /
 N hosts; ≥80% at 2+ hosts is the target).
 
-Measures the point-sharded ICP step (parallel.sharded_icp_step — psum
-of the 6x6 GN system is the only collective) at growing device counts
-on whatever mesh is available, reporting throughput and efficiency vs
-the single-device run. On CPU use
+Measures the PRODUCTION fused multi-iteration ICP loop
+(parallel.sharded_registration_icp: run-grid correspondence + in-kernel
+GN per shard, one psum of 32 floats per iteration) at growing device
+counts, weak-scaling (constant source points per device against a
+fixed target map), reporting throughput and efficiency vs the
+single-device run.  On CPU use
 ``XLA_FLAGS=--xla_force_host_platform_device_count=8`` to validate the
 harness; on a TPU slice the same code paths ride ICI.
 Run: ``python -m cupoch_tpu.bench.scaling [--points N]``.
@@ -13,55 +15,46 @@ Run: ``python -m cupoch_tpu.bench.scaling [--points N]``.
 from __future__ import annotations
 
 import json
-import time
 from typing import List
 
 import numpy as np
 
 
-def run_scaling(points_per_device: int = 131072, reps: int = 3
-                ) -> List[dict]:
+def run_scaling(points_per_device: int = 131072, reps: int = 3,
+                max_iteration: int = 10) -> List[dict]:
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..parallel import POINTS_AXIS, make_point_mesh, sharded_icp_step
+    from ..parallel import make_point_mesh, sharded_registration_icp
 
     devices = jax.devices()
     counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= len(devices)]
     rng = np.random.default_rng(0)
-    M = 65536
-    tgt = jnp.asarray(rng.uniform(size=(M, 3)), jnp.float32)
-    tgt_normals_np = rng.normal(size=(M, 3)).astype(np.float32)
-    tgt_normals_np /= np.linalg.norm(tgt_normals_np, axis=1, keepdims=True)
-    tgt_normals = jnp.asarray(tgt_normals_np)
-    tgt_mask = jnp.ones((M,), bool)
-    T0 = jnp.eye(4, dtype=jnp.float32)
+    M = 262144
+    tgt = rng.uniform(size=(M, 3)).astype(np.float32)
+    tgt_normals = rng.normal(size=(M, 3)).astype(np.float32)
+    tgt_normals /= np.linalg.norm(tgt_normals, axis=1, keepdims=True)
+    ang = 0.01
+    R = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+                   np.float32)
 
     results = []
     base_tput = None
     for c in counts:
         mesh = make_point_mesh(c)
-        # weak scaling: constant work per device
+        # weak scaling: constant work per device; sources sample the
+        # target with a rigid offset so the solve is realistic
         N = points_per_device * c
-        src = jnp.asarray(rng.uniform(size=(N, 3)), jnp.float32)
-        src_mask = jnp.ones((N,), bool)
-        sharding = NamedSharding(mesh, P(POINTS_AXIS))
-        src = jax.device_put(src, sharding)
-        src_mask = jax.device_put(src_mask, sharding)
-        step = sharded_icp_step(mesh)
-
-        def run():
-            T, fit, rmse = step(src, src_mask, tgt, tgt_mask,
-                                tgt_normals, T0)
-            return float(fit)  # host transfer forces completion
-
-        run()  # compile
+        sel = rng.integers(0, M, N)
+        src = (tgt[sel] - np.float32([0.005, -0.004, 0.002])) @ R
         best = float("inf")
+        fit = rmse = 0.0
+        it = 0
         for _ in range(reps):
-            t0 = time.perf_counter()
-            run()
-            best = min(best, time.perf_counter() - t0)
+            T, fit, rmse, it, dt = sharded_registration_icp(
+                src, tgt, tgt_normals, 0.03, mesh,
+                max_iteration=max_iteration)
+            best = min(best, dt)
         tput = N / best
         if base_tput is None:
             base_tput = tput / c
@@ -72,6 +65,9 @@ def run_scaling(points_per_device: int = 131072, reps: int = 3
             "seconds": round(best, 5),
             "points_per_s": round(tput),
             "efficiency": round(eff, 3),
+            "fitness": round(fit, 5),
+            "rmse": round(rmse, 6),
+            "iterations": it,
         })
     return results
 

@@ -607,7 +607,10 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
         row = jnp.zeros((1, N_SUMS), jnp.float32)
         for s, t in enumerate(terms):
             row = row.at[0, s].set(jnp.sum(t))
-        outs[0][:] = row
+        # the output block is the WHOLE [G, N_SUMS] array (TPU grid
+        # iterations are sequential, so the block persists in VMEM);
+        # each program writes its own row
+        outs[0][pl.ds(i, 1), :] = row
 
     return kern, nfetch
 
@@ -668,7 +671,7 @@ def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
             jnp.zeros((cp, 1, KC), jnp.float32)
         out_shape = [jax.ShapeDtypeStruct((cp // T, N_SUMS),
                                           jnp.float32)]
-        out_specs = [pl.BlockSpec((1, N_SUMS), lambda i: (i, 0),
+        out_specs = [pl.BlockSpec((cp // T, N_SUMS), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)]
     in_specs.append(pl.BlockSpec((T, NW), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM))

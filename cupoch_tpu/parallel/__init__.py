@@ -3,13 +3,15 @@ reference; see SURVEY.md §2.13 and §7 step 9)."""
 from .sharded import (
     POINTS_AXIS,
     make_point_mesh,
-    sharded_icp_step,
+    sharded_icp_fn,
+    sharded_registration_icp,
     sharded_transform,
 )
 
 __all__ = [
     "POINTS_AXIS",
     "make_point_mesh",
-    "sharded_icp_step",
+    "sharded_icp_fn",
+    "sharded_registration_icp",
     "sharded_transform",
 ]

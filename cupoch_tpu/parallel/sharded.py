@@ -1,25 +1,28 @@
-"""Multi-chip registration building blocks.
+"""Multi-chip registration: the production fused ICP loop, sharded.
 
-New scope vs the single-GPU reference (SURVEY.md §2.13): point-parallel
-ICP over a `jax.sharding.Mesh`. Source points are sharded across
-devices on the "points" axis; the target cloud (or its hash grid) is
-replicated. Each device computes correspondences and partial
-Gauss-Newton moments for its shard; `psum` over ICI reduces the 6x6
-system, and every device solves the same tiny system — the classic
-data-parallel GN layout, communicating 42 floats per iteration
-regardless of cloud size.
+New scope vs the single-GPU reference (SURVEY.md §2.13, BASELINE.md):
+source points are sharded across a 1-D `jax.sharding.Mesh`; the target
+run-grid (knn/rungrid.py) is replicated.  Each device runs the SAME
+fully-fused while-loop body as the single-chip path
+(registration/fused_icp.icp_core_rungrid) on its query shard — grid
+correspondence, in-kernel Gauss-Newton reduction, per-shard re-binning
+— and the only cross-device traffic is a `psum` of the 32 normal-
+equation floats per iteration (plus pmin/pmax of the AABB once), so
+scaling efficiency is bounded by compute balance, not communication.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..knn import bruteforce
-from ..utility import eigen as ueigen
+from ..knn import rungrid
+from ..registration import fused_icp
+from ..registration.estimation import TransformationEstimationType
 from ..utility.transforms import transform_points
 
 POINTS_AXIS = "points"
@@ -31,67 +34,103 @@ def make_point_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    import numpy as np
-
     return Mesh(np.asarray(devices), (POINTS_AXIS,))
 
 
-def _local_gn_moments(src_t, src_mask, tgt, tgt_mask, max_dist, tgt_normals):
-    """Per-shard correspondence + point-to-plane GN moments."""
-    idx, d2 = bruteforce.nn_search(src_t, tgt, data_mask=tgt_mask)
-    ok = src_mask & (d2 <= max_dist ** 2)
-    ti = jnp.clip(idx, 0, tgt.shape[0] - 1)
-    vt = tgt[ti]
-    nt = tgt_normals[ti]
-    r = jnp.sum((src_t - vt) * nt, -1)
-    J = jnp.concatenate([jnp.cross(src_t, nt), nt], -1)
-    w = ok.astype(jnp.float32)
-    Jw = J * w[:, None]
-    JTJ = jnp.dot(Jw.T, J, precision=jax.lax.Precision.HIGHEST)
-    JTr = Jw.T @ r
-    err2 = jnp.sum(jnp.where(ok, d2, 0.0))
-    cnt = jnp.sum(w)
-    return JTJ, JTr, err2, cnt
-
-
-def sharded_icp_step(mesh: Mesh):
-    """Build a pjit-ed single ICP iteration over ``mesh``.
-
-    Returns fn(src [N,3] sharded, src_mask, tgt [M,3] replicated,
-    tgt_mask, tgt_normals, T) -> (T', fitness, rmse).
-    """
-
-    def local_step(src, src_mask, tgt, tgt_mask, tgt_normals, T):
-        src_t = transform_points(T, src)
-        JTJ, JTr, err2, cnt = _local_gn_moments(
-            src_t, src_mask, tgt, tgt_mask, jnp.float32(0.3), tgt_normals)
-        # the only cross-device communication: reduce the 6x6 system
-        JTJ = jax.lax.psum(JTJ, POINTS_AXIS)
-        JTr = jax.lax.psum(JTr, POINTS_AXIS)
-        err2 = jax.lax.psum(err2, POINTS_AXIS)
-        cnt = jax.lax.psum(cnt, POINTS_AXIS)
-        n_src = jax.lax.psum(jnp.sum(src_mask.astype(jnp.float32)), POINTS_AXIS)
-        ok, update = ueigen.solve_jacobian_system(JTJ, JTr)
-        T_new = update @ T
-        fitness = cnt / jnp.maximum(n_src, 1.0)
-        rmse = jnp.sqrt(err2 / jnp.maximum(cnt, 1.0))
-        return T_new, fitness, rmse
-
+def sharded_icp_fn(mesh: Mesh, qcap: int,
+                   est_type: TransformationEstimationType,
+                   max_iteration: int,
+                   use_pallas: Optional[bool] = None):
+    """Build the sharded full-loop ICP:
+    fn(src [N,3] sharded, src_mask, src_normals, grid (replicated),
+       init_T, max_dist, rebin_margin, rel_fitness, rel_rmse)
+    -> (T, idx [N] sharded, fitness, rmse, iterations)."""
+    body = partial(fused_icp.icp_core_rungrid,
+                   qcap=qcap, est_type=est_type,
+                   max_iteration=max_iteration, use_pallas=use_pallas,
+                   axis_name=POINTS_AXIS)
     shard = jax.shard_map(
-        local_step,
+        body,
         mesh=mesh,
-        in_specs=(P(POINTS_AXIS), P(POINTS_AXIS), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(POINTS_AXIS), P(POINTS_AXIS), P(POINTS_AXIS),
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(POINTS_AXIS), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(shard)
+
+
+def sharded_registration_icp(
+    src_np, tgt_np, tgt_normals_np, max_dist: float, mesh: Mesh,
+    est_type=TransformationEstimationType.PointToPlane,
+    max_iteration: int = 20, relative_fitness: float = 1e-6,
+    relative_rmse: float = 1e-6, init_T=None,
+    use_pallas: Optional[bool] = None, margin: float = 0.25,
+):
+    """Plan + build the replicated target grid, shard the source, and
+    run the fused multi-iteration ICP loop over `mesh`.
+
+    Returns (T [4,4] np, fitness, rmse, iterations, seconds) where
+    seconds covers grid build + the full loop (for bench/scaling.py).
+    """
+    import time
+
+    D = mesh.devices.size
+    n = src_np.shape[0]
+    n_pad = -(-n // (8 * D)) * (8 * D)
+    src_pad = np.zeros((n_pad, 3), np.float32)
+    src_pad[:n] = src_np
+    mask = np.zeros(n_pad, bool)
+    mask[:n] = True
+
+    tgt_j = jnp.asarray(tgt_np, jnp.float32)
+    tn_j = jnp.asarray(tgt_normals_np, jnp.float32)
+    attrs, plane_offset = fused_icp.make_target_attrs(
+        est_type, tgt_j, tn_j)
+    init = np.eye(4, dtype=np.float32) if init_T is None else \
+        np.asarray(init_T, np.float32)
+    src_t = src_np @ init[:3, :3].T + init[:3, 3]
+    plan = rungrid.plan_rungrid(tgt_np, max_dist, margin=margin,
+                                query_points=src_t,
+                                nch=int(attrs.shape[1]))
+    if plan is None:
+        raise ValueError("cloud unsuitable for a dense run grid")
+
+    shard_spec = NamedSharding(mesh, P(POINTS_AXIS))
+    rep = NamedSharding(mesh, P())
+    src_j = jax.device_put(jnp.asarray(src_pad), shard_spec)
+    mask_j = jax.device_put(jnp.asarray(mask), shard_spec)
+    nrm_j = jax.device_put(jnp.zeros_like(src_j), shard_spec)
+
+    fn = sharded_icp_fn(mesh, plan["qcap"], est_type, max_iteration,
+                        use_pallas=use_pallas)
+
+    def run():
+        grid = rungrid.make_rungrid(
+            tgt_j, attrs, plan["origin"], plan["cell_size"],
+            plan["dims"], plan["cap"], plane_offset=plane_offset)
+        grid = jax.device_put(grid, rep)
+        return fn(src_j, mask_j, nrm_j, grid,
+                  jax.device_put(jnp.asarray(init), rep),
+                  jnp.float32(max_dist), plan["rebin_margin"],
+                  jnp.float32(relative_fitness),
+                  jnp.float32(relative_rmse))
+
+    T, idx, fit, rmse, it = run()        # compile + warm
+    _ = float(fit)
+    t0 = time.perf_counter()
+    T, idx, fit, rmse, it = run()
+    _ = float(fit)
+    dt = time.perf_counter() - t0
+    return (np.asarray(T), float(fit), float(rmse), int(it), dt)
 
 
 def sharded_transform(mesh: Mesh):
     """pjit point transform with points sharded across the mesh."""
 
     @partial(jax.jit,
-             in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(POINTS_AXIS))),
+             in_shardings=(NamedSharding(mesh, P()),
+                           NamedSharding(mesh, P(POINTS_AXIS))),
              out_shardings=NamedSharding(mesh, P(POINTS_AXIS)))
     def fn(T, points):
         return transform_points(T, points)

@@ -33,10 +33,13 @@ def _displacement_bound(T, T_bin, corners):
     return jnp.sqrt(jnp.max(jnp.sum(d * d, -1)))
 
 
-def _aabb_corners(src, src_mask):
+def _aabb_corners(src, src_mask, axis_name=None):
     big = jnp.float32(1e30)
     lo = jnp.min(jnp.where(src_mask[:, None], src, big), 0)
     hi = jnp.max(jnp.where(src_mask[:, None], src, -big), 0)
+    if axis_name is not None:
+        lo = jax.lax.pmin(lo, axis_name)
+        hi = jax.lax.pmax(hi, axis_name)
     return jnp.stack([
         jnp.stack([jnp.where(i & 1, hi[0], lo[0]),
                    jnp.where(i & 2, hi[1], lo[1]),
@@ -113,7 +116,7 @@ def _stats_from_sums(est_type, sums, n_src):
 
 
 @partial(jax.jit, static_argnames=(
-    "qcap", "est_type", "max_iteration", "use_pallas"))
+    "qcap", "est_type", "max_iteration", "use_pallas", "axis_name"))
 def icp_core_rungrid(
     src: jax.Array,            # [Np, 3] padded source points
     src_mask: jax.Array,       # [Np]
@@ -128,15 +131,27 @@ def icp_core_rungrid(
     est_type: TransformationEstimationType,
     max_iteration: int,
     use_pallas: Optional[bool] = None,
+    axis_name: Optional[str] = None,
 ):
-    """Returns (T, idx [Np] int32, fitness, inlier_rmse, iterations)."""
+    """Returns (T, idx [Np] int32, fitness, inlier_rmse, iterations).
+
+    With `axis_name` set, runs as the per-shard body of a
+    `shard_map` over a 1-D device mesh: `src`/`src_mask`/`src_normals`
+    are the local query shard, the grid is replicated, and the GN
+    normal equations, fitness statistics and AABB rebin bound are
+    reduced with psum/pmin/pmax so every device applies the identical
+    pose update — the multi-chip scaling path mandated by BASELINE.md
+    (new scope vs the single-GPU reference, SURVEY.md §2.13)."""
     Np = src.shape[0]
     est = _est_code(est_type)
-    n_src = jnp.maximum(jnp.sum(src_mask), 1).astype(jnp.float32)
+    n_src = jnp.sum(src_mask).astype(jnp.float32)
+    if axis_name is not None:
+        n_src = jax.lax.psum(n_src, axis_name)
+    n_src = jnp.maximum(n_src, 1.0)
     need_src_normals = (
         est_type == TransformationEstimationType.SymmetricMethod)
     n_extra = 3 if need_src_normals else 0
-    corners = _aabb_corners(src, src_mask)
+    corners = _aabb_corners(src, src_mask, axis_name)
     r2 = jnp.asarray(max_dist, jnp.float32) ** 2
 
     def rebin(T):
@@ -150,7 +165,10 @@ def icp_core_rungrid(
         params = rungrid.make_params(T, r2, grid.origin, grid.cell_size)
         partial_sums = rungrid.fused_query(
             grid, qsoa, qidx, params, est, False, use_pallas=use_pallas)
-        return jnp.sum(partial_sums, 0)
+        sums = jnp.sum(partial_sums, 0)
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
+        return sums
 
     qsoa0, qidx0 = rebin(init_T)
 
@@ -193,8 +211,11 @@ def icp_core_rungrid(
     ok = jnp.isfinite(d2) & (qidx >= 0)
     w = ok.astype(jnp.float32)
     cnt = jnp.sum(w)
-    fit = cnt / n_src
     err = jnp.sum(jnp.where(ok, d2, 0.0))
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        err = jax.lax.psum(err, axis_name)
+    fit = cnt / n_src
     rmse = jnp.sqrt(err / jnp.maximum(cnt, 1.0))
     rmse = jnp.where(cnt > 0, rmse, 0.0)
 
