@@ -604,9 +604,11 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
         fetched = [acc[ch][:] for ch in range(nfetch)]
         terms = _gn_terms(est, fetched, tx, ty, tz, ex, ey, ez,
                           ccx, ccy, ccz, src_n, ok, d2c)
+        # build the row with one-hot selects (Mosaic has no scatter)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, N_SUMS), 1)
         row = jnp.zeros((1, N_SUMS), jnp.float32)
         for s, t in enumerate(terms):
-            row = row.at[0, s].set(jnp.sum(t))
+            row = row + jnp.where(slot == s, jnp.sum(t), 0.0)
         # the output block is the WHOLE [G, N_SUMS] array (TPU grid
         # iterations are sequential, so the block persists in VMEM);
         # each program writes its own row

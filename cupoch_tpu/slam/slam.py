@@ -41,12 +41,20 @@ class SlamOption:
                  keyframe_angle_deg: float = 10.0,
                  keyframe_translation: float = 0.15,
                  loop_closure_interval: int = 0,
+                 loop_closure_radius: float = 0.5,
+                 loop_closure_min_gap: int = 3,
                  odometry_option: Optional[OdometryOption] = None,
                  optimize_every_n_keyframes: int = 8):
         self.keyframe_interval = int(keyframe_interval)
         self.keyframe_angle_deg = float(keyframe_angle_deg)
         self.keyframe_translation = float(keyframe_translation)
+        # every Nth keyframe attempts a loop closure (0 = off)
         self.loop_closure_interval = int(loop_closure_interval)
+        # candidate keyframes must sit within this translation radius
+        self.loop_closure_radius = float(loop_closure_radius)
+        # ... and be at least this many keyframes older (skip the
+        # sequential neighbors the odometry chain already covers)
+        self.loop_closure_min_gap = int(loop_closure_min_gap)
         self.odometry_option = odometry_option or OdometryOption()
         self.optimize_every_n_keyframes = int(optimize_every_n_keyframes)
 
@@ -65,6 +73,8 @@ class RGBDSlam:
         self.prev_frame: Optional[RGBDImage] = None
         self.last_keyframe_pose = np.eye(4, dtype=np.float32)
         self.last_keyframe_frame: Optional[RGBDImage] = None
+        # (kf_id, pose-at-insertion, frame) for loop-closure candidates
+        self._keyframes: List[tuple] = []
         self.frame_id = 0
         self._since_opt = 0
 
@@ -77,6 +87,8 @@ class RGBDSlam:
                 self.trajectory.append(self.cur_pose.copy())
             self.prev_frame = rgbd
             self.last_keyframe_frame = rgbd
+            if self.frame_id == 0:
+                self._keyframes.append((0, self.cur_pose.copy(), rgbd))
             self.frame_id += 1
             return True
         ok, motion, info = compute_rgbd_odometry(
@@ -115,22 +127,50 @@ class RGBDSlam:
             np.float32)
         self.pose_graph.edges.append(PoseGraphEdge(
             kf_id - 1, kf_id, rel, info, uncertain=False))
-        # loop closure against keyframe 0 when revisiting (odometry
-        # check; cheap proxy for place recognition)
+        self._keyframes.append((kf_id, self.cur_pose.copy(), rgbd))
         if (self.option.loop_closure_interval
-                and kf_id % self.option.loop_closure_interval == 0
-                and self.last_keyframe_frame is not None):
-            ok, motion, lc_info = compute_rgbd_odometry(
-                rgbd, self.last_keyframe_frame, self.intrinsic,
-                option=self.option.odometry_option)
-            if ok:
-                self.pose_graph.edges.append(PoseGraphEdge(
-                    kf_id - 1, kf_id, motion, lc_info, uncertain=True))
+                and kf_id % self.option.loop_closure_interval == 0):
+            self._try_loop_closure(kf_id, rgbd)
         self.last_keyframe_pose = self.cur_pose.copy()
         self.last_keyframe_frame = rgbd
         self._since_opt += 1
         if self._since_opt >= self.option.optimize_every_n_keyframes:
             self.optimize()
+
+    def _try_loop_closure(self, kf_id: int, rgbd: RGBDImage) -> bool:
+        """Place recognition by pose proximity: pick the nearest OLD
+        keyframe (≥ min_gap back) within `loop_closure_radius` of the
+        current estimate, register the frames with RGB-D odometry
+        seeded by the current relative estimate, and insert an
+        `uncertain` edge between the TRUE endpoints so the pose graph
+        can correct accumulated drift (new scope, BASELINE config #5;
+        the reference has no SLAM backend)."""
+        gap = self.option.loop_closure_min_gap
+        cand = None
+        best_d = self.option.loop_closure_radius
+        for cid, cpose, cframe in self._keyframes:
+            if cid >= kf_id - gap or cframe is None:
+                continue
+            d = float(np.linalg.norm(cpose[:3, 3] - self.cur_pose[:3, 3]))
+            if d <= best_d:
+                best_d = d
+                cand = (cid, cpose, cframe)
+        if cand is None:
+            return False
+        cid, cpose, cframe = cand
+        # current -> candidate motion, seeded with the drifted estimate
+        init = np.linalg.inv(cpose) @ self.cur_pose
+        ok, motion, lc_info = compute_rgbd_odometry(
+            rgbd, cframe, self.intrinsic, odo_init=init,
+            option=self.option.odometry_option)
+        if not ok:
+            return False
+        self.pose_graph.edges.append(PoseGraphEdge(
+            cid, kf_id, np.asarray(motion, np.float32), lc_info,
+            uncertain=True))
+        console.log_debug("[RGBDSlam] loop closure %d -> %d (d=%.3f)",
+                          cid, kf_id, best_d)
+        return True
 
     # -- backend -------------------------------------------------------
     def optimize(self):
@@ -147,6 +187,11 @@ class RGBDSlam:
         self.cur_pose = (correction @ self.cur_pose).astype(np.float32)
         self.last_keyframe_pose = (
             correction @ self.last_keyframe_pose).astype(np.float32)
+        # refresh candidate poses so loop-closure proximity checks use
+        # the corrected trajectory
+        self._keyframes = [
+            (cid, self.pose_graph.nodes[cid].pose.copy(), f)
+            for (cid, _, f) in self._keyframes]
         self._since_opt = 0
 
     # -- persistence ---------------------------------------------------

@@ -222,3 +222,85 @@ def test_slam_save_restore(tmp_path, rng):
     assert len(slam2.pose_graph.edges) == 1
     np.testing.assert_allclose(slam2.cur_pose, T)
     np.testing.assert_allclose(slam2.pose_graph.edges[0].transformation, T)
+
+
+# ---------------------------------------------------------------------------
+# loop closure (frontend)
+# ---------------------------------------------------------------------------
+
+def _render_plane(T_cam, W=80, H=60, FX=60.0, FY=60.0):
+    """Textured slanted plane renderer (same scene as test_odometry)."""
+    from cupoch_tpu.geometry import Image, RGBDImage
+
+    CX, CY = (W - 1) / 2.0, (H - 1) / 2.0
+    R = T_cam[:3, :3]
+    t = T_cam[:3, 3]
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    d_cam = np.stack([(uu - CX) / FX, (vv - CY) / FY,
+                      np.ones_like(uu)], -1)
+    d_world = d_cam @ R
+    o_world = -R.T @ t
+    n = np.array([-0.2, -0.1, 1.0])
+    s = (2.0 - o_world @ n) / (d_world @ n)
+    p = o_world + s[..., None] * d_world
+    inten = (0.5 + 0.15 * np.sin(7.0 * p[..., 0]) * np.cos(5.0 * p[..., 1])
+             + 0.1 * np.sin(3.0 * p[..., 0] + 2.0 * p[..., 1]))
+    return RGBDImage(Image(inten.astype(np.float32)[..., None]),
+                     Image(s.astype(np.float32)[..., None]))
+
+
+def test_loop_closure_corrects_drift():
+    """An out-and-back trajectory with injected mid-way drift: the
+    loop closure must connect the revisit to the OLD keyframe (not the
+    sequential neighbor) and optimization must cut the ATE."""
+    from cupoch_tpu.camera import PinholeCameraIntrinsic
+
+    intr = PinholeCameraIntrinsic(80, 60, 60.0, 60.0, 39.5, 29.5)
+    slam = RGBDSlam(intr, SlamOption(
+        keyframe_interval=2, loop_closure_interval=1,
+        loop_closure_radius=0.4, loop_closure_min_gap=3,
+        optimize_every_n_keyframes=1000))
+
+    # world->cam poses: out 8 frames along +x, back 8 frames
+    xs = list(np.linspace(0, 0.14, 8)) + list(np.linspace(0.14, 0.0, 8))
+    gt_poses = []
+    for x in xs:
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = x
+        gt_poses.append(T)
+
+    kf_gt = {}
+    n_nodes = 0
+    for i, T in enumerate(gt_poses):
+        slam.process_frame(_render_plane(T))
+        if len(slam.pose_graph.nodes) > n_nodes:  # a new keyframe
+            n_nodes = len(slam.pose_graph.nodes)
+            kf_gt[n_nodes - 1] = np.linalg.inv(T)
+        if i == 8:
+            # inject drift: the estimate is now 6 cm off
+            slam.cur_pose = slam.cur_pose.copy()
+            slam.cur_pose[0, 3] += 0.06
+            slam.last_keyframe_pose = slam.last_keyframe_pose.copy()
+            slam.last_keyframe_pose[0, 3] += 0.06
+
+    # structural check: at least one genuine loop-closure edge whose
+    # endpoints are NOT sequential (the round-1 bug emitted kf-1 -> kf)
+    lc = [e for e in slam.pose_graph.edges if e.uncertain]
+    assert lc, "no loop closure edges inserted"
+    assert any(e.target_node_id - e.source_node_id
+               > slam.option.loop_closure_min_gap for e in lc)
+
+    def kf_ate():
+        errs = []
+        for nid, gt in kf_gt.items():
+            if nid < len(slam.pose_graph.nodes):
+                est = slam.pose_graph.nodes[nid].pose
+                errs.append(np.linalg.norm(est[:3, 3] - gt[:3, 3]) ** 2)
+        return float(np.sqrt(np.mean(errs)))
+
+    before = kf_ate()
+    slam.optimize()
+    after = kf_ate()
+    assert before > 0.02, f"drift injection had no effect ({before})"
+    assert after < 0.6 * before, f"ATE {before:.4f} -> {after:.4f}"
