@@ -14,6 +14,7 @@ from functools import partial
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .tsdfvolume import TSDFVolumeColorType
@@ -229,3 +230,116 @@ def mc_classify(tsdf, weight, resolution: int):
         idx = idx | (jnp.where(fc < 0.0, 1, 0) << k)
         observed = observed & (wc > 0.0)
     return jnp.where(observed, idx, 0)
+
+
+# ---------------------------------------------------------------------------
+# device-side marching-cubes compaction + emit
+# (reference does GPU compaction in uniform_tsdfvolume.cu:703-840; here
+# classification, active-cell compaction (jnp.nonzero with a static
+# size) and vertex emission all run jitted; the host only trims the
+# fixed-capacity output)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("side",))
+def mc_classify_blocks(fields, weights, side: int):
+    """Cube index per cell for batched [B, S, S, S] fields with
+    stitched borders (S = side). Returns [B, S-1, S-1, S-1] int32."""
+    from .marching_cubes_tables import CORNERS
+
+    C = side - 1
+    idx = jnp.zeros(fields.shape[:1] + (C, C, C), jnp.int32)
+    observed = jnp.ones(idx.shape, bool)
+    for k, (dx, dy, dz) in enumerate(CORNERS):
+        fc = fields[:, dx: dx + C, dy: dy + C, dz: dz + C]
+        wc = weights[:, dx: dx + C, dy: dy + C, dz: dz + C]
+        idx = idx | (jnp.where(fc < 0.0, 1, 0) << k)
+        observed = observed & (wc > 0.0)
+    return jnp.where(observed, idx, 0)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def mc_compact(cases_flat, cap: int):
+    """Active-cell compaction on device: flat cell ids of cells with a
+    non-trivial case, padded to `cap` (fill -1), plus the true count."""
+    active = (cases_flat != 0) & (cases_flat != 255)
+    count = jnp.sum(active)
+    (ids,) = jnp.nonzero(active, size=cap, fill_value=-1)
+    return ids, count
+
+
+@partial(jax.jit, static_argnames=("side", "color_channels"))
+def mc_emit_blocks(fields, colors, cases_flat, cell_ids, block_origins,
+                   block_keys, voxel_length, side: int,
+                   color_channels: int):
+    """Vertex emission for compacted cells over [B, S, S, S] fields.
+
+    cell_ids: [cap] flat ids into [B, (S-1)^3] (-1 = padding).
+    block_keys: [B, 3] int32 integer block coordinates (global voxel =
+    block_key * (S-1 block voxels) + local), used to emit an EXACT
+    integer identity per mesh vertex (global edge id) so vertex
+    welding — including across block borders — is float-free.
+    Returns (verts [cap, 15, 3], cols [cap, 15, 3],
+             ekeys [cap, 15, 4] int32 (gx, gy, gz, axis),
+             tri_valid [cap, 5]).
+    """
+    from .marching_cubes_tables import (
+        CORNERS, EDGE_VERTS, NUM_TRIS, TRI_TABLE)
+
+    C = side - 1
+    ok = cell_ids >= 0
+    ids = jnp.maximum(cell_ids, 0)
+    b = ids // (C * C * C)
+    r = ids % (C * C * C)
+    ci = r // (C * C)
+    cj = (r // C) % C
+    ck = r % C
+    cases = cases_flat[ids]
+
+    corner_f = []
+    corner_c = []
+    for dx, dy, dz in CORNERS:
+        corner_f.append(fields[b, ci + dx, cj + dy, ck + dz])
+        if color_channels:
+            corner_c.append(colors[b, ci + dx, cj + dy, ck + dz])
+        else:
+            corner_c.append(jnp.zeros(ids.shape + (3,), jnp.float32))
+    corner_f = jnp.stack(corner_f, -1)                    # [cap, 8]
+    corner_c = jnp.stack(corner_c, 1)                     # [cap, 8, 3]
+
+    ev = jnp.asarray(EDGE_VERTS)
+    fa = corner_f[:, ev[:, 0]]                            # [cap, 12]
+    fb = corner_f[:, ev[:, 1]]
+    denom = jnp.where(jnp.abs(fb - fa) > 1e-12, fb - fa, 1.0)
+    t = jnp.clip(-fa / denom, 0.0, 1.0)
+    pa = jnp.asarray(CORNERS[EDGE_VERTS[:, 0]], jnp.float32)  # [12, 3]
+    pb = jnp.asarray(CORNERS[EDGE_VERTS[:, 1]], jnp.float32)
+    cell = jnp.stack([ci, cj, ck], -1).astype(jnp.float32)
+    edge_pts = cell[:, None, :] + pa[None] + t[..., None] * (pb - pa)[None]
+    edge_pts = (edge_pts + 0.5) * voxel_length \
+        + block_origins[b][:, None, :]                    # [cap, 12, 3]
+    ca = corner_c[:, ev[:, 0]]
+    cb = corner_c[:, ev[:, 1]]
+    edge_cols = ca + t[..., None] * (cb - ca)
+
+    # exact integer edge identity: lower corner of the edge in GLOBAL
+    # voxel coordinates + the edge axis
+    lower = np.minimum(CORNERS[EDGE_VERTS[:, 0]],
+                       CORNERS[EDGE_VERTS[:, 1]])         # [12, 3]
+    axis = np.argmax(np.abs(CORNERS[EDGE_VERTS[:, 1]]
+                            - CORNERS[EDGE_VERTS[:, 0]]), -1)  # [12]
+    gcell = block_keys[b] * (side - 1) \
+        + jnp.stack([ci, cj, ck], -1)                     # [cap, 3]
+    ekeys12 = jnp.concatenate([
+        gcell[:, None, :] + jnp.asarray(lower, jnp.int32)[None],
+        jnp.broadcast_to(jnp.asarray(axis, jnp.int32)[None, :, None],
+                         (ids.shape[0], 12, 1))], -1)     # [cap, 12, 4]
+
+    tri_edges = jnp.asarray(TRI_TABLE)[cases]             # [cap, 16]
+    ntris = jnp.asarray(NUM_TRIS)[cases]                  # [cap]
+    e = jnp.maximum(tri_edges[:, :15], 0)                 # [cap, 15]
+    verts = jnp.take_along_axis(edge_pts, e[..., None], axis=1)
+    cols = jnp.take_along_axis(edge_cols, e[..., None], axis=1)
+    ekeys = jnp.take_along_axis(ekeys12, e[..., None], axis=1)
+    tri_valid = ok[:, None] & (
+        jnp.arange(5)[None, :] < ntris[:, None])          # [cap, 5]
+    return verts, cols, ekeys, tri_valid

@@ -20,13 +20,56 @@ from ..geometry.trianglemesh import TriangleMesh
 from ..geometry import image_ops
 from ..utility import console
 from . import tsdf_ops
-from .marching_cubes_tables import (
-    CORNERS,
-    EDGE_VERTS,
-    NUM_TRIS,
-    TRI_TABLE,
-)
 from .tsdfvolume import TSDFVolume, TSDFVolumeColorType
+
+
+def _next_bucket(n: int, lo: int = 1024) -> int:
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+def mesh_from_mc_device(fields, weights, colors, block_origins,
+                        block_keys, voxel_length, side: int,
+                        color_type) -> "TriangleMesh":
+    """Shared device-side marching-cubes driver over [B, S, S, S]
+    fields (B=1 dense volume, or stitched 17^3 blocks for the scalable
+    volume). Only a count scalar and the final weld touch the host;
+    vertices are welded by their exact integer edge identity (emitted
+    by the kernel), so watertightness is independent of float rounding
+    and holds across block borders."""
+    cases = tsdf_ops.mc_classify_blocks(fields, weights, side)
+    cases_flat = cases.reshape(-1)
+    count = int(jnp.sum((cases_flat != 0) & (cases_flat != 255)))
+    if count == 0:
+        return TriangleMesh()
+    cap = _next_bucket(count)
+    ids, _ = tsdf_ops.mc_compact(cases_flat, cap)
+    channels = 0 if color_type == TSDFVolumeColorType.NoColor else 3
+    verts, cols, ekeys, tri_valid = tsdf_ops.mc_emit_blocks(
+        fields, colors, cases_flat, ids,
+        jnp.asarray(block_origins, jnp.float32),
+        jnp.asarray(block_keys, jnp.int32),
+        jnp.float32(voxel_length), side, channels)
+    tv = np.asarray(tri_valid)                      # [cap, 5]
+    v = np.asarray(verts).reshape(cap, 5, 3, 3)[tv].reshape(-1, 3)
+    c = np.asarray(cols).reshape(cap, 5, 3, 3)[tv].reshape(-1, 3)
+    k = np.asarray(ekeys).reshape(cap, 5, 3, 4)[tv].reshape(-1, 4)
+    uniq, first, inv = np.unique(k, axis=0, return_index=True,
+                                 return_inverse=True)
+    mesh = TriangleMesh(
+        v[first].astype(np.float32),
+        inv.reshape(-1, 3).astype(np.int32))
+    cw = c[first]
+    if color_type == TSDFVolumeColorType.RGB8:
+        mesh.vertex_colors = cw / 255.0
+    elif color_type == TSDFVolumeColorType.Gray32:
+        mesh.vertex_colors = cw
+    mesh.remove_degenerate_triangles() if hasattr(
+        mesh, "remove_degenerate_triangles") else None
+    mesh.compute_vertex_normals()
+    return mesh
 
 
 class UniformTSDFVolume(TSDFVolume):
@@ -131,63 +174,17 @@ class UniformTSDFVolume(TSDFVolume):
     def extract_triangle_mesh(self) -> TriangleMesh:
         """Marching cubes (reference: ExtractTriangleMesh,
         uniform_tsdfvolume.cu:740-840; tables self-derived, see
-        marching_cubes_tables.py)."""
-        cube_idx = np.asarray(tsdf_ops.mc_classify(
-            self.tsdf, self.weight, self.resolution))
-        active = np.nonzero((cube_idx != 0) & (cube_idx != 255))
-        if len(active[0]) == 0:
-            return TriangleMesh()
-        cases = cube_idx[active]
-        cells = np.stack(active, -1).astype(np.int32)  # [A,3]
+        marching_cubes_tables.py).
 
-        f = np.asarray(self.tsdf)
-        col = np.asarray(self.color)
-        corner_f = np.stack([
-            f[cells[:, 0] + dx, cells[:, 1] + dy, cells[:, 2] + dz]
-            for dx, dy, dz in CORNERS], -1)  # [A,8]
-        corner_c = np.stack([
-            col[cells[:, 0] + dx, cells[:, 1] + dy, cells[:, 2] + dz]
-            for dx, dy, dz in CORNERS], 1)  # [A,8,3]
-
-        # interpolated vertex on each of the 12 edges
-        ev = EDGE_VERTS
-        fa = corner_f[:, ev[:, 0]]  # [A,12]
-        fb = corner_f[:, ev[:, 1]]
-        denom = np.where(np.abs(fb - fa) > 1e-12, fb - fa, 1.0)
-        t = np.clip(-fa / denom, 0.0, 1.0)  # zero of fa + t*(fb-fa)
-        pa = CORNERS[ev[:, 0]].astype(np.float32)  # [12,3]
-        pb = CORNERS[ev[:, 1]].astype(np.float32)
-        edge_pts = (cells[:, None, :] + pa[None] +
-                    t[..., None] * (pb - pa)[None])  # [A,12,3]
-        edge_pts = (edge_pts + 0.5) * self.voxel_length + self.origin
-        ca = corner_c[:, ev[:, 0]]
-        cb = corner_c[:, ev[:, 1]]
-        edge_cols = ca + t[..., None] * (cb - ca)
-
-        tri_edges = TRI_TABLE[cases]  # [A,16]
-        ntris = NUM_TRIS[cases]  # [A]
-        verts = []
-        colors = []
-        max_t = int(ntris.max())
-        for ti in range(max_t):
-            sel = ntris > ti
-            e = tri_edges[sel, 3 * ti: 3 * ti + 3]  # [S,3]
-            rows = np.nonzero(sel)[0]
-            v3 = edge_pts[rows[:, None], e]  # [S,3,3]
-            c3 = edge_cols[rows[:, None], e]
-            verts.append(v3.reshape(-1, 3))
-            colors.append(c3.reshape(-1, 3))
-        v = np.concatenate(verts, 0).astype(np.float32)
-        c = np.concatenate(colors, 0).astype(np.float32)
-        mesh = TriangleMesh(
-            v, np.arange(len(v), dtype=np.int32).reshape(-1, 3))
-        if self.color_type == TSDFVolumeColorType.RGB8:
-            mesh.vertex_colors = c / 255.0
-        elif self.color_type == TSDFVolumeColorType.Gray32:
-            mesh.vertex_colors = c
-        mesh.remove_duplicated_vertices()
-        mesh.compute_vertex_normals()
-        return mesh
+        Classification, active-cell compaction and vertex emission all
+        run on device at a fixed capacity (count -> nonzero(size) ->
+        gather/emit); the host transfers one count scalar to size the
+        capacity bucket and trims the padded output."""
+        return mesh_from_mc_device(
+            self.tsdf[None], self.weight[None], self.color[None],
+            np.asarray([self.origin], np.float32),
+            np.zeros((1, 3), np.int32), self.voxel_length,
+            self.resolution, self.color_type)
 
     def raycast(self, intrinsic, extrinsic, sdf_trunc: Optional[float] = None,
                 project_valid_depth_only: bool = True) -> PointCloud:

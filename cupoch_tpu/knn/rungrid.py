@@ -533,9 +533,18 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
             i, T, dims, p_ref[0, 13], p_ref[0, 14], p_ref[0, 15],
             p_ref[0, 16])
 
-        qx = q_ref[:, 0, :]
-        qy = q_ref[:, 1, :]
-        qz = q_ref[:, 2, :]
+        # LAYOUT RULE: every per-query quantity is kept [T, qcap, 1]
+        # (queries in SUBLANES, like the [T, qcap, WINDOW] score), so
+        # all broadcasts against candidate rows [T, 1, WINDOW] are
+        # native sublane/lane replication — the lane-major [T, qcap]
+        # form would force a Mosaic relayout per op per window (~5x
+        # whole-kernel cost, measured on a v5e)
+        qx = q_ref[:, 0, :][:, :, None]
+        qy = q_ref[:, 1, :][:, :, None]
+        qz = q_ref[:, 2, :][:, :, None]
+        ccx = ccx[:, :, None]
+        ccy = ccy[:, :, None]
+        ccz = ccz[:, :, None]
         tx = R00 * qx + R01 * qy + R02 * qz + t0
         ty = R10 * qx + R11 * qy + R12 * qz + t1
         tz = R20 * qx + R21 * qy + R22 * qz + t2
@@ -544,25 +553,28 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
         ez = tz - ccz
         qn = ex * ex + ey * ey + ez * ez
         dqc = jnp.sqrt(qn)
-        valid = qi_ref[:] >= 0
+        valid = (qi_ref[:, :] >= 0)[:, :, None]
 
-        mb_ref[:] = jnp.full((T, qcap), 3.0e18, jnp.float32)
+        mb_ref[:] = jnp.full((T, qcap, 1), 3.0e18, jnp.float32)
         for ch in range(nfetch):
-            acc[ch][:] = jnp.zeros((T, qcap), jnp.float32)
+            acc[ch][:] = jnp.zeros((T, qcap, 1), jnp.float32)
 
-        def src_ref(ch):
+        def src_win(ch, lo):
+            # slice at the REF level: loading the full [T, KC] row per
+            # window would multiply VMEM traffic by the window count
             if corres:
-                return x_ref[:, :]                      # negidx
+                return x_ref[:, lo:lo + WINDOW]         # negidx
             kind, c = fetch[ch]
             if kind == "cand":
-                return c_ref[:, c, :]
-            return x_ref[:, c, :]
+                return c_ref[:, c, lo:lo + WINDOW]
+            return x_ref[:, c, lo:lo + WINDOW]
 
         for k in range(KC // WINDOW):
             lo = k * WINDOW
             best = jnp.sqrt(jnp.maximum(
                 jnp.minimum(mb_ref[:] + qn, r2), 0.0))
-            need = jnp.any(valid & (best + dqc >= b_ref[:, k:k + 1]))
+            need = jnp.any(valid & (
+                best + dqc >= b_ref[:, k:k + 1][:, :, None]))
 
             @pl.when(need)
             def _():
@@ -570,32 +582,31 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
                 cyk = c_ref[:, 1, lo:lo + WINDOW][:, None, :]
                 czk = c_ref[:, 2, lo:lo + WINDOW][:, None, :]
                 cnk = c_ref[:, 3, lo:lo + WINDOW][:, None, :]
-                v = cnk + ex[:, :, None] * cxk + ey[:, :, None] * cyk \
-                    + ez[:, :, None] * czk
-                m = jnp.min(v, -1)
+                v = cnk + ex * cxk + ey * cyk + ez * czk
+                m = jnp.min(v, -1, keepdims=True)
                 prev = mb_ref[:]
                 upd = m < prev
                 mb_ref[:] = jnp.where(upd, m, prev)
-                eq = (v <= m[:, :, None]) & upd[:, :, None]
+                eq = (v <= m) & upd
                 for ch in range(nfetch):
                     f = jnp.max(jnp.where(
-                        eq, src_ref(ch)[:, lo:lo + WINDOW][:, None, :],
-                        float(-np.inf)), -1)
+                        eq, src_win(ch, lo)[:, None, :],
+                        float(-np.inf)), -1, keepdims=True)
                     acc[ch][:] = jnp.where(upd, f, acc[ch][:])
 
         d2 = mb_ref[:] + qn
         ok = valid & (d2 <= r2)
         if corres:
             outs[0][:] = jnp.where(ok, jnp.maximum(d2, 0.0),
-                                   float(np.inf))
+                                   float(np.inf))[:, :, 0]
             outs[1][:] = jnp.where(ok, acc[0][:],
-                                   float(-INVALID_INDEX))
+                                   float(-INVALID_INDEX))[:, :, 0]
             return
         d2c = jnp.where(ok, jnp.maximum(d2, 0.0), 0.0)
         if est == EST_SYM:
-            s0 = q_ref[:, 3, :]
-            s1 = q_ref[:, 4, :]
-            s2 = q_ref[:, 5, :]
+            s0 = q_ref[:, 3, :][:, :, None]
+            s1 = q_ref[:, 4, :][:, :, None]
+            s2 = q_ref[:, 5, :][:, :, None]
             src_n = (R00 * s0 + R01 * s1 + R02 * s2,
                      R10 * s0 + R11 * s1 + R12 * s2,
                      R20 * s0 + R21 * s1 + R22 * s2)
@@ -647,7 +658,7 @@ def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
     T = _pick_tile(cp, KC, A, qcap)
     kern, nfetch = _make_fused_kernel(est, A, T, qcap, KC, grid.dims,
                                       corres)
-    scratch = [pltpu.VMEM((T, qcap), jnp.float32)
+    scratch = [pltpu.VMEM((T, qcap, 1), jnp.float32)
                for _ in range(1 + nfetch)]
     in_specs = [
         pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
