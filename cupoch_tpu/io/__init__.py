@@ -16,8 +16,11 @@ from .json_io import (
 from .pointcloud_io import read_point_cloud, write_point_cloud
 from .trajectory_io import read_trajectory_log, write_trajectory_log
 from .trianglemesh_io import read_triangle_mesh, write_triangle_mesh
+from .voxelgrid_io import read_voxel_grid, write_voxel_grid
 
 __all__ = [
+    "read_voxel_grid",
+    "write_voxel_grid",
     "read_point_cloud",
     "write_point_cloud",
     "read_triangle_mesh",

@@ -553,7 +553,9 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
         ez = tz - ccz
         qn = ex * ex + ey * ey + ez * ez
         dqc = jnp.sqrt(qn)
-        valid = (qi_ref[:, :] >= 0)[:, :, None]
+        # expand the 32-bit value BEFORE comparing: Mosaic cannot
+        # insert a minor dim on i1 vectors
+        valid = qi_ref[:, :][:, :, None] >= 0
 
         mb_ref[:] = jnp.full((T, qcap, 1), 3.0e18, jnp.float32)
         for ch in range(nfetch):

@@ -16,9 +16,19 @@ from .render_option import (
     ViewControl,
     ViewTrajectory,
 )
+from .view_trajectory import (
+    ViewParameters,
+    ViewTrajectory,
+    read_view_trajectory,
+    write_view_trajectory,
+)
 from .visualizer import Visualizer, draw_geometries
 
 __all__ = [
+    "ViewParameters",
+    "ViewTrajectory",
+    "read_view_trajectory",
+    "write_view_trajectory",
     "ColorMapOption",
     "get_color_map_color",
     "get_global_color_map_option",

@@ -208,3 +208,63 @@ def test_image_msg_roundtrip(rng):
     data, info = create_to_image_msg(img)
     back = create_from_image_msg(data, info)
     np.testing.assert_array_equal(back.to_numpy(), arr)
+
+
+def test_voxel_grid_ply_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from cupoch_tpu.geometry.voxelgrid import VoxelGrid
+    from cupoch_tpu.io import read_voxel_grid, write_voxel_grid
+
+    vg = VoxelGrid()
+    vg.voxel_size = 0.05
+    vg.origin = np.asarray([0.5, -1.0, 2.0], np.float32)
+    keys = rng.integers(0, 64, size=(100, 3)).astype(np.int32)
+    keys = np.unique(keys, axis=0)
+    vg.voxels_keys = jnp.asarray(keys)
+    vg.voxels_colors = jnp.asarray(
+        rng.uniform(size=(len(keys), 3)).astype(np.float32))
+    for ascii_mode in (False, True):
+        path = str(tmp_path / f"vg_{ascii_mode}.ply")
+        assert write_voxel_grid(path, vg, write_ascii=ascii_mode)
+        vg2 = read_voxel_grid(path)
+        assert abs(vg2.voxel_size - vg.voxel_size) < 1e-9
+        np.testing.assert_allclose(vg2.origin, vg.origin, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(vg2.voxels_keys), keys)
+        np.testing.assert_allclose(np.asarray(vg2.voxels_colors),
+                                   np.asarray(vg.voxels_colors),
+                                   atol=1.0 / 255.0)
+
+
+def test_view_trajectory_json_roundtrip(tmp_path):
+    from cupoch_tpu.visualization import (
+        ViewParameters,
+        ViewTrajectory,
+        read_view_trajectory,
+        write_view_trajectory,
+    )
+
+    traj = ViewTrajectory()
+    traj.is_loop = True
+    traj.interval = 10
+    for i in range(4):
+        vp = ViewParameters()
+        vp.field_of_view = 60.0 + i
+        vp.zoom = 0.5 + 0.1 * i
+        vp.lookat = np.asarray([i, 0.0, 1.0])
+        traj.view_status.append(vp)
+    path = str(tmp_path / "traj.json")
+    assert write_view_trajectory(path, traj)
+    traj2 = read_view_trajectory(path)
+    assert traj2.is_loop and traj2.interval == 10
+    assert len(traj2.view_status) == 4
+    np.testing.assert_allclose(traj2.view_status[2].lookat,
+                               [2.0, 0.0, 1.0])
+    # interpolation hits the key frames exactly at segment starts
+    ok, f0 = traj2.get_interpolated_frame(0)
+    assert ok
+    np.testing.assert_allclose(f0.field_of_view, 60.0, atol=1e-9)
+    ok, f1 = traj2.get_interpolated_frame(11)
+    assert ok
+    np.testing.assert_allclose(f1.field_of_view, 61.0, atol=1e-9)
+    assert traj2.num_of_frames() == 44
