@@ -929,3 +929,171 @@ def knn_search_grid(queries_np, data_np, k: int,
             return idx, d2
         r_est *= 1.7
     return None
+
+
+# ---------------------------------------------------------------------------
+# truncated-Gaussian moment transform (FilterReg E-step)
+# ---------------------------------------------------------------------------
+
+def _make_gmm_kernel(T: int, qcap: int, KC: int, dims):
+    """Per query: m0 = sum_l e, m1 = sum_l e*c' (3), m2 = sum_l e*|c'|^2
+    with e = exp(-d^2 * inv_2s2), windows gated by the truncation
+    radius. Replaces the reference's permutohedral-lattice Gaussian
+    filtering (permutohedral.inl:92-123) with the same run-grid used
+    by ICP — linear time, exact within the truncation radius."""
+
+    def kern(p_ref, q_ref, qi_ref, c_ref, b_ref,
+             o0, o1x, o1y, o1z, o2, m0s, m1xs, m1ys, m1zs, m2s):
+        i = pl.program_id(0)
+        R00, R01, R02 = p_ref[0, 0], p_ref[0, 1], p_ref[0, 2]
+        R10, R11, R12 = p_ref[0, 3], p_ref[0, 4], p_ref[0, 5]
+        R20, R21, R22 = p_ref[0, 6], p_ref[0, 7], p_ref[0, 8]
+        t0, t1, t2 = p_ref[0, 9], p_ref[0, 10], p_ref[0, 11]
+        r2 = p_ref[0, 12]
+        inv_2s2 = p_ref[0, 17]
+        ccx, ccy, ccz = _tile_centers(
+            i, T, dims, p_ref[0, 13], p_ref[0, 14], p_ref[0, 15],
+            p_ref[0, 16])
+        ccx = ccx[:, :, None]
+        ccy = ccy[:, :, None]
+        ccz = ccz[:, :, None]
+        qx = q_ref[:, 0, :][:, :, None]
+        qy = q_ref[:, 1, :][:, :, None]
+        qz = q_ref[:, 2, :][:, :, None]
+        tx = R00 * qx + R01 * qy + R02 * qz + t0
+        ty = R10 * qx + R11 * qy + R12 * qz + t1
+        tz = R20 * qx + R21 * qy + R22 * qz + t2
+        ex = tx - ccx
+        ey = ty - ccy
+        ez = tz - ccz
+        qn = ex * ex + ey * ey + ez * ez
+        dqc = jnp.sqrt(qn)
+        valid = qi_ref[:, :][:, :, None] >= 0
+        rr = jnp.sqrt(r2)
+
+        for s in (m0s, m1xs, m1ys, m1zs, m2s):
+            s[:] = jnp.zeros((T, qcap, 1), jnp.float32)
+
+        for k in range(KC // WINDOW):
+            lo = k * WINDOW
+            need = jnp.any(valid & (
+                rr + dqc >= b_ref[:, k:k + 1][:, :, None]))
+
+            @pl.when(need)
+            def _():
+                cxk = c_ref[:, 0, lo:lo + WINDOW][:, None, :]
+                cyk = c_ref[:, 1, lo:lo + WINDOW][:, None, :]
+                czk = c_ref[:, 2, lo:lo + WINDOW][:, None, :]
+                cnk = c_ref[:, 3, lo:lo + WINDOW][:, None, :]
+                d2 = cnk + ex * cxk + ey * cyk + ez * czk + qn
+                e = jnp.where(d2 <= r2,
+                              jnp.exp(-jnp.maximum(d2, 0.0) * inv_2s2),
+                              0.0)
+                m0s[:] = m0s[:] + jnp.sum(e, -1, keepdims=True)
+                # c' = -0.5 * stored rows
+                m1xs[:] = m1xs[:] + jnp.sum(e * (-0.5) * cxk, -1,
+                                            keepdims=True)
+                m1ys[:] = m1ys[:] + jnp.sum(e * (-0.5) * cyk, -1,
+                                            keepdims=True)
+                m1zs[:] = m1zs[:] + jnp.sum(e * (-0.5) * czk, -1,
+                                            keepdims=True)
+                m2s[:] = m2s[:] + jnp.sum(e * cnk, -1, keepdims=True)
+
+        w = valid.astype(jnp.float32)
+        o0[:] = (m0s[:] * w)[:, :, 0]
+        o1x[:] = (m1xs[:] * w)[:, :, 0]
+        o1y[:] = (m1ys[:] * w)[:, :, 0]
+        o1z[:] = (m1zs[:] * w)[:, :, 0]
+        o2[:] = (m2s[:] * w)[:, :, 0]
+
+    return kern
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def gmm_moments(grid: RunGrid, qsoa, qidx, params,
+                use_pallas: Optional[bool] = None):
+    """Gaussian moments (M0, M1 world, M2 world |y|^2) of the target
+    cloud at each (transformed) query. params as make_params with
+    r = truncation radius and params[17] = 1/(2 sigma^2)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    cp, nq, qcap = qsoa.shape
+    KC = grid.kc
+    NW = grid.n_windows
+    if use_pallas:
+        interpret = use_pallas == "interpret"
+        T = _pick_tile(cp, KC, 0, qcap)
+        kern = _make_gmm_kernel(T, qcap, KC, grid.dims)
+        outs = pl.pallas_call(
+            kern,
+            grid=(cp // T,),
+            in_specs=[
+                pl.BlockSpec((1, 24), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((T, nq, qcap), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, qcap), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, 4, KC), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, NW), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((T, qcap), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)] * 5,
+            out_shape=[jax.ShapeDtypeStruct((cp, qcap),
+                                            jnp.float32)] * 5,
+            scratch_shapes=[pltpu.VMEM((T, qcap, 1), jnp.float32)
+                            for _ in range(5)],
+            interpret=interpret,
+        )(params.reshape(1, 24), qsoa, qidx, grid.cand, grid.bounds)
+        m0, m1x, m1y, m1z, m2 = outs
+    else:
+        m0, m1x, m1y, m1z, m2 = _gmm_moments_xla(grid, qsoa, qidx,
+                                                 params)
+    # shift centered moments to world frame:
+    # M1 = m1' + cc*m0 ; M2 = m2' + 2 cc.m1' + |cc|^2 m0
+    centers = cell_centers(grid.dims, params[13:16], params[16], cp)
+    cx = centers[:, 0:1]
+    cy = centers[:, 1:2]
+    cz = centers[:, 2:3]
+    M1 = jnp.stack([m1x + cx * m0, m1y + cy * m0, m1z + cz * m0], -1)
+    M2 = m2 + 2.0 * (cx * m1x + cy * m1y + cz * m1z) \
+        + (cx * cx + cy * cy + cz * cz) * m0
+    return m0, M1, M2
+
+
+def _gmm_moments_xla(grid: RunGrid, qsoa, qidx, params):
+    cp, nq, qcap = qsoa.shape
+    KC = grid.kc
+    T = 8
+    n = cp // T
+    R = params[:9].reshape(3, 3)
+    t = params[9:12]
+    r2 = params[12]
+    inv_2s2 = params[17]
+    centers = cell_centers(grid.dims, params[13:16], params[16], cp)
+
+    def body(args):
+        q, qi, c, cen = args
+        qw = jnp.einsum("ij,tjq->tiq", R, q[:, 0:3, :]) + t[None, :, None]
+        e_ = qw - cen[:, :, None]
+        qn = jnp.sum(e_ * e_, 1)
+        d2 = c[:, 3, None, :] \
+            + e_[:, 0, :, None] * c[:, 0, None, :] \
+            + e_[:, 1, :, None] * c[:, 1, None, :] \
+            + e_[:, 2, :, None] * c[:, 2, None, :] + qn[:, :, None]
+        w = jnp.where(d2 <= r2,
+                      jnp.exp(-jnp.maximum(d2, 0.0) * inv_2s2), 0.0)
+        w = w * (qi[:, :, None] >= 0)
+        m0 = jnp.sum(w, -1)
+        m1x = jnp.sum(w * (-0.5) * c[:, 0, None, :], -1)
+        m1y = jnp.sum(w * (-0.5) * c[:, 1, None, :], -1)
+        m1z = jnp.sum(w * (-0.5) * c[:, 2, None, :], -1)
+        m2 = jnp.sum(w * c[:, 3, None, :], -1)
+        return m0, m1x, m1y, m1z, m2
+
+    outs = jax.lax.map(body, (
+        qsoa.reshape(n, T, nq, qcap), qidx.reshape(n, T, qcap),
+        grid.cand.reshape(n, T, 4, KC), centers.reshape(n, T, 3)))
+    return tuple(o.reshape(cp, qcap) for o in outs)

@@ -136,6 +136,30 @@ def registration_filterreg(source, target, init=None,
     cap_t = bucket_size(len(target))
     src = pad_axis0(jnp.asarray(source.points, jnp.float32), cap_s)
     tgt = pad_axis0(jnp.asarray(target.points, jnp.float32), cap_t)
+
+    # linear-time grid E-step above the dense threshold
+    if len(source) * len(target) > _GRID_THRESHOLD ** 2:
+        from ..knn import rungrid as rg
+
+        trunc = 3.0 * option.sigma_initial
+        src_np = np.asarray(source.points)
+        src_t = src_np @ init_T[:3, :3].T + init_T[:3, 3]
+        plan = rg.plan_rungrid(np.asarray(target.points), trunc,
+                               margin=0.25, query_points=src_t, nch=0)
+        if plan is not None:
+            grid = rg.make_rungrid(
+                tgt, jnp.zeros((cap_t, 0), jnp.float32),
+                plan["origin"], plan["cell_size"], plan["dims"],
+                plan["cap"], mask=valid_mask(len(target), cap_t))
+            T, lik = _filterreg_core_grid(
+                src, valid_mask(len(source), cap_s), grid,
+                jnp.asarray(init_T), jnp.float32(option.sigma_initial),
+                jnp.float32(option.sigma_min),
+                jnp.float32(option.relative_likelihood),
+                jnp.float32(trunc), plan["rebin_margin"],
+                plan["qcap"], option.max_iteration)
+            return FilterRegResult(np.asarray(T), float(lik))
+
     T, lik = _filterreg_core(
         src, valid_mask(len(source), cap_s),
         tgt, valid_mask(len(target), cap_t),
@@ -143,3 +167,86 @@ def registration_filterreg(source, target, init=None,
         jnp.float32(option.sigma_min),
         jnp.float32(option.relative_likelihood), option.max_iteration)
     return FilterRegResult(np.asarray(T), float(lik))
+
+
+# ---------------------------------------------------------------------------
+# linear-time E-step over the run grid (permutohedral replacement)
+# ---------------------------------------------------------------------------
+
+_GRID_THRESHOLD = 20000
+
+
+@partial(jax.jit, static_argnames=("qcap", "max_iteration", "use_pallas"))
+def _filterreg_core_grid(src, src_mask, grid, init_T, sigma_initial,
+                         sigma_min, relative_likelihood, trunc_radius,
+                         rebin_margin, qcap: int, max_iteration: int,
+                         use_pallas=None):
+    """EM loop with the Gaussian transform computed by the run-grid
+    moments kernel (knn/rungrid.gmm_moments): O(N + M) per iteration
+    instead of the dense O(N*M), replacing the reference's
+    permutohedral lattice (permutohedral.h:92, filterreg.cu). The
+    truncation radius is 3*sigma_initial; sigma only shrinks during
+    EM, so one grid serves the whole loop. Model points are re-binned
+    only when accumulated motion exceeds the grid margin."""
+    from ..knn import rungrid as rg
+    from .fused_icp import _aabb_corners, _displacement_bound
+
+    n_src = jnp.maximum(jnp.sum(src_mask), 1.0)
+    corners = _aabb_corners(src, src_mask)
+
+    def rebin(T):
+        pos = src @ T[:3, :3].T + T[:3, 3]
+        return rg.bin_queries(src, pos, grid.origin, grid.cell_size,
+                              grid.dims, qcap, mask=src_mask)
+
+    def e_step(T, sigma, qsoa, qidx):
+        inv_2s2 = 1.0 / (2.0 * sigma * sigma)
+        params = rg.make_params(T, trunc_radius ** 2, grid.origin,
+                                grid.cell_size)
+        params = params.at[17].set(inv_2s2)
+        m0, M1, M2 = rg.gmm_moments(grid, qsoa, qidx, params,
+                                    use_pallas=use_pallas)
+        good = (m0 >= 1e-2) & (qidx >= 0)
+        safe = jnp.maximum(m0, 1e-30)
+        target_pt = jnp.where(good[..., None], M1 / safe[..., None], 0.0)
+        m2n = jnp.where(good, M2 / safe, 0.0)
+        weight = jnp.where(good, m0 / (m0 + _OUTLIER_CONSTANT), 0.0)
+        return target_pt, weight, m2n
+
+    def cond(state):
+        i, *_, delta = state
+        return (i < max_iteration) & (delta >= relative_likelihood)
+
+    def step(state):
+        i, T, T_bin, qsoa, qidx, sigma, likelihood, _ = state
+        disp = _displacement_bound(T, T_bin, corners)
+        qsoa, qidx, T_bin = jax.lax.cond(
+            disp > rebin_margin, lambda _: rebin(T) + (T,),
+            lambda _: (qsoa, qidx, T_bin), None)
+        target_pt, weight, m2 = e_step(T, sigma, qsoa, qidx)
+        # model points in bin order (original coords ride qsoa)
+        q = jnp.moveaxis(qsoa[:, 0:3, :], 1, 2).reshape(-1, 3)
+        model = q @ T[:3, :3].T + T[:3, 3]
+        tp = target_pt.reshape(-1, 3)
+        w = weight.reshape(-1)
+        update = kabsch_weighted(model, tp, w)
+        T_new = update @ T
+        model_new = model @ update[:3, :3].T + update[:3, 3]
+        y2 = jnp.sum(model_new * model_new, -1)
+        upper = jnp.sum(w * (y2 - 2.0 * jnp.sum(tp * model_new, -1)
+                             + m2.reshape(-1)))
+        divisor = jnp.maximum(jnp.sum(w), 1e-6)
+        sigma_new = jnp.sqrt(jnp.maximum(upper / (divisor * 3.0), 0.0))
+        use_new = jnp.isfinite(sigma_new) & (sigma_new > sigma_min)
+        sigma = jnp.where(use_new, sigma_new, sigma)
+        r = w[:, None] * (model_new - tp)
+        lik = jnp.sum(r * r)
+        delta = jnp.abs(likelihood - lik)
+        return i + 1, T_new, T_bin, qsoa, qidx, sigma, lik, delta
+
+    qsoa0, qidx0 = rebin(init_T)
+    init = (jnp.int32(0), init_T, init_T, qsoa0, qidx0, sigma_initial,
+            jnp.float32(0.0), jnp.float32(jnp.inf))
+    _, T, _, _, _, _, likelihood, _ = jax.lax.while_loop(cond, step,
+                                                         init)
+    return T, likelihood
