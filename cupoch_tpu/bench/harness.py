@@ -140,6 +140,42 @@ def run_benchmarks(pcd_path: Optional[str] = None,
         lambda: compute_rgbd_odometry(rgbd, rgbd, intr)[1], reps,
         f"{W}x{H} hybrid"))
 
+    # BASELINE config #2: voxel-downsample + FPFH + FGR pipeline
+    def _fgr_pipeline():
+        from ..registration import (
+            FastGlobalRegistrationOption,
+            compute_fpfh_feature,
+            registration_fast_based_on_feature_matching,
+        )
+        from ..knn import KDTreeSearchParamHybrid
+
+        s = pcd.voxel_down_sample(0.02)
+        t = tgt.voxel_down_sample(0.02)
+        s.estimate_normals(KDTreeSearchParamHybrid(0.06, 30))
+        t.estimate_normals(KDTreeSearchParamHybrid(0.06, 30))
+        fs = compute_fpfh_feature(s, KDTreeSearchParamHybrid(0.1, 64))
+        ft = compute_fpfh_feature(t, KDTreeSearchParamHybrid(0.1, 64))
+        res = registration_fast_based_on_feature_matching(
+            s, t, fs, ft, FastGlobalRegistrationOption())
+        return res.transformation
+
+    results.append(time_op("fpfh_fgr_pipeline", _fgr_pipeline, reps,
+                           "voxel 0.02 + FPFH + FGR (config #2)"))
+
+    # BASELINE config #4: KinectFusion frame processing
+    def _kinfu():
+        from ..kinfu import KinfuOption, KinfuPipeline
+
+        opt = KinfuOption(num_pyramid_levels=2, tsdf_length=3.0,
+                          tsdf_resolution=64)
+        pipe = KinfuPipeline(intr, opt)
+        for _ in range(3):
+            pipe.process_frame(rgbd)
+        return pipe.cur_pose
+
+    results.append(time_op("kinfu_process_frame_x3", _kinfu, reps,
+                           "2 levels, 64^3 tsdf (config #4)"))
+
     # benchmarks3.py: mesh sampling
     from ..geometry.trianglemesh_factory import create_sphere
 

@@ -3,45 +3,48 @@
 reference rationale: cupoch's ICP correspondence is a per-query FLANN
 kd-tree walk (knn/kdtree_flann.inl); rounds 1-2 replaced it with dense
 roll grids (knn/rollgrid.py, knn/packgrid.py).  Profiling packgrid on a
-v5e showed the remaining costs per frame: (a) the build-time per-cell
+v5e showed the dominant costs per frame: (a) the build-time per-cell
 lane sort (a [cells, 27*cap] multi-operand sort, ~200 ms at 1M points),
-(b) per-iteration query re-binning (~29 ms each, many times per frame
-at small margins), and (c) the VPU fetch passes that deliver winner
-attributes for the Gauss-Newton step.
+(b) per-iteration query re-binning, and (c) per-window CROSS-LANE
+reductions — every `min`/`max` over 128 lanes costs ~log2(128) VPU
+passes, and a select-max fetch per attribute channel per window
+multiplies that by the channel count.
 
-This module removes them by changing the data structure, not just the
-kernel:
+This module removes them by changing the data structure AND the kernel
+dataflow:
 
 1. NO lane sort.  The 27-cell neighborhood of every cell is laid out as
    27 fixed "runs" of `cap` lanes each, concatenated in ascending
-   center-to-center distance order.  Intra-cell lanes are ordered by a
-   2-bit-per-axis Morton code of the point's sub-cell position, which
-   the bin sort key encodes for free.  Adaptive pruning then comes from
-   DATA-DEPENDENT per-window bounds: for every 128-lane window the
-   build records the minimum candidate distance to the cell center
-   (one min-reduce; empty lanes are +inf).  A window whose bound
-   exceeds  min(best-so-far, radius) + d(query, cell center)  cannot
-   improve any query in the tile and is skipped.  Correctness does not
-   depend on lane order at all — order only makes windows coherent.
+   center-to-center distance order; intra-run lanes follow a
+   2-bit-per-axis Morton code that rides the bin sort key for free.
+   Pruning is DATA-DEPENDENT: each 128-lane window records the minimum
+   candidate distance to the cell center (one min-reduce at build);
+   the kernel skips windows whose bound exceeds radius + d(query,
+   center).  Correctness never depends on lane order.
 
 2. CELL-CENTERED coordinates.  Candidates are stored relative to the
-   center of the cell whose neighborhood row they sit in (the per-run
-   offset is folded in at build time), so the score
-   v = |c|^2 - 2 q.c  is computed on ~cell-sized magnitudes: absolute
-   f32 error ~1e-8 instead of ~1e-6 at world scale, and |c| doubles as
-   the pruning distance (no separate distance tensor).  The candidate
-   coordinates stored in `cand` ARE the (centered) target points, so
-   point-to-point and symmetric estimators fetch them straight from
-   the score operand instead of duplicating them in `attr`.
+   center of the cell whose neighborhood row they sit in (per-run
+   offsets folded in at build), so the score v = |c|^2 - 2 q.c runs on
+   ~cell-sized magnitudes (f32 error ~1e-8) and |c| doubles as the
+   pruning distance.
 
-3. The ICP Gauss-Newton reduction happens INSIDE the query kernel: per
-   tile, the kernel transforms the binned queries, finds 1-NN, fetches
-   the winner's attribute channels with select-max passes, forms the
-   6-DoF jacobian rows (utility/eigen.py solves the 6x6 outside), and
-   emits one 32-float partial-sum row.  Per ICP iteration nothing but
-   [tiles, 32] partials leaves the kernel — no per-point gathers,
-   scatters, or host round-trips (reference hot loop:
-   registration.cu:154-171 syncs per iteration).
+3. TWO-PHASE kernel with NO per-window lane reductions.  Phase A packs
+   the window id into the low mantissa bits of the (positive) score
+   and keeps a per-LANE elementwise running minimum across windows —
+   one vector `min` per window.  A single lane-reduce at the end
+   yields the winner's score AND window.  Phase B re-scores only the
+   winner window(s) and fetches the winner's attributes from 16-bit
+   pairs packed in int32 channels (one masked int-max per packed
+   channel).  Clearing the low mantissa bits costs < 4e-6 absolute on
+   d^2 (at the +1 offset scale) — far below the point-spacing scale.
+
+4. The ICP Gauss-Newton reduction happens INSIDE the kernel: the
+   jacobian rows are formed from the unpacked winner attributes and
+   reduced to one 32-float row per tile (utility/eigen.py solves the
+   6x6 outside).  Per ICP iteration nothing but [tiles, 32] partials
+   leaves the kernel — no gathers, scatters, or host round-trips
+   (the reference hot loop syncs per iteration,
+   registration.cu:154-171).
 
 Capacity discipline matches the reference's padded-neighbor semantics
 (SURVEY.md §2.2): per-cell caps are occupancy percentiles; overflow
@@ -60,8 +63,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INVALID_INDEX = -1
-BIG = jnp.float32(3.0e18)
+BIG = 3.0e18
 WINDOW = 128  # pruning-window width in lanes
+NPARAMS = 32
 
 # 27 neighbor offsets in ascending center-to-center distance:
 # own cell, 6 faces, 12 edges, 8 corners.
@@ -73,9 +77,9 @@ RUN_OFFSETS = tuple(sorted(
 # estimator codes (static kernel variants); values match
 # registration.estimation.TransformationEstimationType where relevant
 EST_NONE = 0    # correspondence only: outputs (d2, -index)
-EST_PT2PT = 1   # sums: Kabsch sufficient statistics
-EST_PT2PL = 2   # attr = nx,ny,nz,d_centered; sums: JTJ/JTr
-EST_SYM = 3     # attr = nx,ny,nz (target); source normals ride qsoa
+EST_PT2PT = 1   # packed attrs: centered target point
+EST_PT2PL = 2   # packed attrs: normal + centered plane offset
+EST_SYM = 3     # packed attrs: centered point + target normal
 
 N_SUMS = 32
 # GN slot layout: 0-20 JTJ upper-tri, 21-26 JTr, 27 count, 28 err
@@ -87,32 +91,43 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _n_packed(est: int) -> int:
+    return {EST_NONE: 0, EST_PT2PT: 2, EST_PT2PL: 2, EST_SYM: 3}[est]
+
+
+def _n_unpacked(est: int) -> int:
+    return {EST_NONE: 0, EST_PT2PT: 3, EST_PT2PL: 4, EST_SYM: 6}[est]
+
+
 # ---------------------------------------------------------------------------
 # container
 # ---------------------------------------------------------------------------
 
 class RunGrid:
-    """Pytree; `dims`, `cap`, `kc`, `nch` static.
+    """Pytree; `dims`, `cap`, `kc`, `est` static.
 
-    cand   [Cp, 4, KC]  rows (-2cx, -2cy, -2cz, |c|^2), c relative to
-                        the row's cell center; empty lanes |c|^2 = BIG
-    attr   [Cp, A, KC]  estimator attribute channels (may be A=0)
-    negidx [Cp, KC]     -original_index as f32 (-(-1) = empty)
-    bounds [Cp, NW]     min |c| per 128-lane window (+inf when empty)
+    cand     [Cp, 4, KC]   rows (-2cx, -2cy, -2cz, |c|^2), c relative
+                           to the row's cell center; empty: |c|^2 = BIG
+    attrp    [Cp, P, KC]   int32, two 16-bit quantized attribute fields
+                           per lane (estimator-specific; P may be 0)
+    negidx   [Cp, KC]      -original_index as f32 (-(-1) = empty)
+    bounds   [Cp, NW]      min |c| per 128-lane window (+inf if empty)
+    pack_lohi [2P, 2]      (lo, scale) per 16-bit field for unpacking
     """
 
-    def __init__(self, cand, attr, negidx, bounds, origin, cell_size,
-                 dims, cap, kc, nch):
+    def __init__(self, cand, attrp, negidx, bounds, pack_lohi, origin,
+                 cell_size, dims, cap, kc, est):
         self.cand = cand
-        self.attr = attr
+        self.attrp = attrp
         self.negidx = negidx
         self.bounds = bounds
+        self.pack_lohi = pack_lohi
         self.origin = origin
         self.cell_size = cell_size
         self.dims = tuple(int(d) for d in dims)
         self.cap = int(cap)
         self.kc = int(kc)
-        self.nch = int(nch)
+        self.est = int(est)
 
     @property
     def n_windows(self) -> int:
@@ -120,8 +135,9 @@ class RunGrid:
 
 
 def _rungrid_flatten(g):
-    return ((g.cand, g.attr, g.negidx, g.bounds, g.origin, g.cell_size),
-            (g.dims, g.cap, g.kc, g.nch))
+    return ((g.cand, g.attrp, g.negidx, g.bounds, g.pack_lohi,
+             g.origin, g.cell_size),
+            (g.dims, g.cap, g.kc, g.est))
 
 
 def _rungrid_unflatten(aux, leaves):
@@ -153,8 +169,7 @@ def plan_rungrid(points: np.ndarray, radius: float,
     cell = radius*(1+margin): queries binned at transform T_bin stay
     valid for the 27-neighborhood as long as every point has moved
     less than radius*margin since binning (the rebin trigger used by
-    registration/fused_icp.py).
-    """
+    registration/fused_icp.py)."""
     pts = np.asarray(points)
     finite = np.isfinite(pts).all(-1)
     if not finite.any() or radius <= 0:
@@ -277,19 +292,39 @@ def cell_centers(dims, origin, cell_size, cp: int):
 # build
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("dims", "cap", "nch", "plane_offset"))
+def _pack_channel_list(est: int, coords, attrs_rolled, cell_size):
+    """Estimator-specific 16-bit fields: list of (values [C, KC],
+    lo, hi) with lo/hi possibly traced (cell-relative ranges)."""
+    cx, cy, cz = coords
+    pr = 1.6 * cell_size   # |centered coord| bound (cell + half-diag)
+    dr = 3.0 * cell_size   # |re-centered plane offset| bound
+    if est == EST_PT2PT:
+        return [(cx, -pr, pr), (cy, -pr, pr), (cz, -pr, pr),
+                (jnp.zeros_like(cx), -1.0, 1.0)]
+    if est == EST_PT2PL:
+        n0, n1, n2, d = attrs_rolled[:4]
+        return [(n0, -1.0, 1.0), (n1, -1.0, 1.0), (n2, -1.0, 1.0),
+                (d, -dr, dr)]
+    if est == EST_SYM:
+        n0, n1, n2 = attrs_rolled[:3]
+        return [(cx, -pr, pr), (cy, -pr, pr), (cz, -pr, pr),
+                (n0, -1.0, 1.0), (n1, -1.0, 1.0), (n2, -1.0, 1.0)]
+    return []
+
+
+@partial(jax.jit, static_argnames=("dims", "cap", "nch", "est"))
 def build_rungrid_arrays(points, attrs, origin, cell_size,
                          dims: Tuple[int, int, int], cap: int, nch: int,
-                         mask=None, plane_offset: bool = False):
+                         est: int = EST_NONE, mask=None):
     """Bin targets once, assemble the 27-run neighborhood with
     `jnp.roll` (no gathers, no lane sort), fold per-run center offsets
-    into the coordinates, and record per-window pruning bounds.
+    into the coordinates, quantize the estimator's fetch channels to
+    16-bit pairs, and record per-window pruning bounds.
 
-    plane_offset: when True, attrs[:, :3] is a direction n and
-    attrs[:, 3] a plane offset d = n.p; d is re-centered per row
-    (d_rel = d - n.row_center) so the kernel's centered residual
-    n.q_centered - d_rel equals the world-frame n.q - d exactly.
-    """
+    For EST_PT2PL, attrs is [N, 4] = (normal, d = n.p); d is
+    re-centered per row (d_rel = d - n.row_center) so the kernel's
+    centered residual n.q_centered - d_rel equals the world-frame
+    n.q - d exactly."""
     Gx, Gy, Gz = dims
     C = Gx * Gy * Gz
     key, lin = _cell_and_morton(points, origin, cell_size, dims, mask)
@@ -327,7 +362,7 @@ def build_rungrid_arrays(points, attrs, origin, cell_size,
     cy = cy + lane_off[None, :, 1] * cell_size
     cz = cz + lane_off[None, :, 2] * cell_size
 
-    if plane_offset:
+    if est == EST_PT2PL:
         rcen = cell_centers(dims, origin, cell_size, C)
         ach[3] = ach[3] - (ach[0] * rcen[:, 0:1] + ach[1] * rcen[:, 1:2]
                            + ach[2] * rcen[:, 2:3])
@@ -347,38 +382,63 @@ def build_rungrid_arrays(points, attrs, origin, cell_size,
     bounds = jnp.min(dist.reshape(C, kc // WINDOW, WINDOW), -1)
     zero = jnp.zeros_like(cx)
     cx, cy, cz = (jnp.where(empty, zero, v) for v in (cx, cy, cz))
+
+    # 16-bit-pair attribute packing (phase-B fetch operands)
+    fields = _pack_channel_list(est, (cx, cy, cz), ach, cell_size)
+    packed = []
+    lohi = []
+    for i in range(0, len(fields), 2):
+        (v0, lo0, hi0) = fields[i]
+        (v1, lo1, hi1) = fields[i + 1]
+
+        def q16(v, lo, hi):
+            s = 65535.0 / (hi - lo)
+            return jnp.clip(jnp.round((v - lo) * s), 0.0,
+                            65535.0).astype(jnp.int32)
+
+        packed.append(q16(v0, lo0, hi0) | (q16(v1, lo1, hi1) << 16))
+        lohi.append(jnp.stack([
+            jnp.asarray(lo0, jnp.float32),
+            jnp.asarray((hi0 - lo0) / 65535.0, jnp.float32)]))
+        lohi.append(jnp.stack([
+            jnp.asarray(lo1, jnp.float32),
+            jnp.asarray((hi1 - lo1) / 65535.0, jnp.float32)]))
+    P = len(packed)
+    attrp = jnp.stack(packed, 1) if P else jnp.zeros((C, 0, kc),
+                                                     jnp.int32)
+    pack_lohi = jnp.stack(lohi, 0) if P else jnp.zeros((0, 2),
+                                                       jnp.float32)
+
     cand = jnp.stack([-2.0 * cx, -2.0 * cy, -2.0 * cz, cn], 1)
     negidx = jnp.where(empty, -float(INVALID_INDEX), negidx)
-    attr = jnp.stack(ach, 1) if nch else \
-        jnp.zeros((C, 0, kc), jnp.float32)
 
     cp = padded_cells(dims)
     if cp > C:
         cand = jnp.concatenate([
             cand, jnp.zeros((cp - C, 4, kc), jnp.float32)
             .at[:, 3, :].set(BIG)], 0)
-        attr = jnp.concatenate(
-            [attr, jnp.zeros((cp - C, nch, kc), jnp.float32)], 0)
+        attrp = jnp.concatenate(
+            [attrp, jnp.zeros((cp - C, P, kc), jnp.int32)], 0)
         negidx = jnp.concatenate([
             negidx, jnp.full((cp - C, kc), -float(INVALID_INDEX),
                              jnp.float32)], 0)
         bounds = jnp.concatenate([
             bounds, jnp.full((cp - C, kc // WINDOW), np.inf,
                              jnp.float32)], 0)
-    return cand, attr, negidx, bounds
+    return cand, attrp, negidx, bounds, pack_lohi
 
 
 def make_rungrid(points, attrs, origin, cell_size, dims, cap,
-                 mask=None, plane_offset: bool = False) -> RunGrid:
+                 mask=None, est: int = EST_NONE) -> RunGrid:
     nch = int(attrs.shape[1])
-    cand, attr, negidx, bounds = build_rungrid_arrays(
+    cand, attrp, negidx, bounds, pack_lohi = build_rungrid_arrays(
         points, attrs, jnp.asarray(origin, jnp.float32),
         jnp.asarray(cell_size, jnp.float32), tuple(dims), int(cap),
-        nch, mask=mask, plane_offset=plane_offset)
-    return RunGrid(cand, attr, negidx, bounds,
+        nch, est=int(est), mask=mask)
+    return RunGrid(cand, attrp, negidx, bounds, pack_lohi,
                    jnp.asarray(origin, jnp.float32),
                    jnp.asarray(cell_size, jnp.float32), tuple(dims),
-                   int(cap), int(cand.shape[2]), nch)
+                   int(cap), int(cand.shape[2]), int(est))
 
 
 # ---------------------------------------------------------------------------
@@ -419,50 +479,40 @@ def bin_queries(points, bin_positions, origin, cell_size,
     return qsoa, index
 
 
-def make_params(T, r2, origin, cell_size):
-    """[24] f32 scalar block: R row-major (9), t (3), r^2, origin (3),
-    cell_size, 7 spare."""
+def make_params(T, r2, grid: RunGrid, inv_2s2=0.0):
+    """[NPARAMS] f32 scalar block: R row-major (0-8), t (9-11), r^2
+    (12), origin (13-15), cell_size (16), inv_2s2 (17), per-16-bit-
+    field (lo, scale) unpack pairs (18..)."""
     R = T[:3, :3].reshape(-1)
     t = T[:3, 3]
-    return jnp.concatenate([
+    head = jnp.concatenate([
         R, t, jnp.asarray(r2, jnp.float32).reshape(1),
-        jnp.asarray(origin, jnp.float32).reshape(3),
-        jnp.asarray(cell_size, jnp.float32).reshape(1),
-        jnp.zeros(7, jnp.float32)])
+        jnp.asarray(grid.origin, jnp.float32).reshape(3),
+        jnp.asarray(grid.cell_size, jnp.float32).reshape(1),
+        jnp.asarray(inv_2s2, jnp.float32).reshape(1)])
+    fields = grid.pack_lohi.reshape(-1)
+    pad = NPARAMS - head.shape[0] - fields.shape[0]
+    return jnp.concatenate([head, fields,
+                            jnp.zeros(max(pad, 0), jnp.float32)])
 
 
 # ---------------------------------------------------------------------------
 # fused query (+ optional GN reduction) kernel
 # ---------------------------------------------------------------------------
 
-def _fetch_plan(est: int):
-    """Which channels the winner fetch needs: list of ("cand"|"attr",
-    channel).  cand channels 0-2 hold -2*c, so the fetched value is
-    scaled by -0.5 to recover the centered target point."""
-    if est == EST_NONE:
-        return []
-    if est == EST_PT2PT:
-        return [("cand", 0), ("cand", 1), ("cand", 2)]
-    if est == EST_PT2PL:
-        return [("attr", 0), ("attr", 1), ("attr", 2), ("attr", 3)]
-    if est == EST_SYM:
-        return [("cand", 0), ("cand", 1), ("cand", 2),
-                ("attr", 0), ("attr", 1), ("attr", 2)]
-    raise ValueError(est)
-
-
 def _gn_terms(est: int, fetched, tx, ty, tz, ex, ey, ez,
               ccx, ccy, ccz, src_n, ok, d2c):
-    """Sum terms (length <= N_SUMS) given fetched winner channels.
+    """Sum terms (length <= N_SUMS) given unpacked winner channels.
 
     tx.. = world-frame transformed source; ex.. = cell-centered same;
     ccx.. = cell centers; src_n = rotated source normals (sym only).
+    Fetched channels: PT2PT/SYM lead with the CENTERED target point.
     """
     w = ok.astype(jnp.float32)
     if est == EST_PT2PT:
-        px = -0.5 * fetched[0] + ccx
-        py = -0.5 * fetched[1] + ccy
-        pz = -0.5 * fetched[2] + ccz
+        px = fetched[0] + ccx
+        py = fetched[1] + ccy
+        pz = fetched[2] + ccz
         terms = [w, w * tx, w * ty, w * tz, w * px, w * py, w * pz]
         for s in (tx, ty, tz):
             for d in (px, py, pz):
@@ -470,14 +520,12 @@ def _gn_terms(est: int, fetched, tx, ty, tz, ex, ey, ez,
         terms.append(d2c)
         return terms
     if est == EST_PT2PL:
-        nx, ny, nz, dd = fetched
+        nx, ny, nz, dd = fetched[:4]
         r = nx * ex + ny * ey + nz * ez - dd
         j = (ty * nz - tz * ny, tz * nx - tx * nz, tx * ny - ty * nx,
              nx, ny, nz)
     elif est == EST_SYM:
-        pxc = -0.5 * fetched[0]
-        pyc = -0.5 * fetched[1]
-        pzc = -0.5 * fetched[2]
+        pxc, pyc, pzc = fetched[0], fetched[1], fetched[2]
         px, py, pz = pxc + ccx, pyc + ccy, pzc + ccz
         sx, sy, sz = src_n
         mx = fetched[3] + sx
@@ -511,18 +559,23 @@ def _tile_centers(i, T, dims, ox, oy, oz, cell):
     return ox + cx * cell, oy + cy * cell, oz + cz * cell
 
 
-def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
-                       dims, corres: bool):
-    fetch = _fetch_plan(est)
-    nfetch = len(fetch) if not corres else 1  # corres fetches negidx
+def _unpack16(word, lo, scale, high: bool):
+    u = (word >> 16) & 0xFFFF if high else word & 0xFFFF
+    return u.astype(jnp.float32) * scale + lo
 
-    def kern(p_ref, q_ref, qi_ref, c_ref, x_ref, b_ref,
+
+def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
+                       dims, corres: bool):
+    NW = KC // WINDOW
+    nbits = max(1, (NW - 1).bit_length())
+    masklo = (1 << nbits) - 1
+
+    def kern(p_ref, q_ref, qi_ref, c_ref, a_ref, ni_ref, b_ref,
              *out_and_scratch):
-        # x_ref: negidx [T, KC] in corres mode, attr [T, A, KC] in GN
         n_out = 2 if corres else 1
         outs = out_and_scratch[:n_out]
-        mb_ref = out_and_scratch[n_out]
-        acc = out_and_scratch[n_out + 1:]
+        ml_ref = out_and_scratch[n_out]           # [T, qcap, WINDOW] i32
+        acc = out_and_scratch[n_out + 1:]         # per packed ch (+neg)
         i = pl.program_id(0)
         R00, R01, R02 = p_ref[0, 0], p_ref[0, 1], p_ref[0, 2]
         R10, R11, R12 = p_ref[0, 3], p_ref[0, 4], p_ref[0, 5]
@@ -532,78 +585,99 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
         ccx, ccy, ccz = _tile_centers(
             i, T, dims, p_ref[0, 13], p_ref[0, 14], p_ref[0, 15],
             p_ref[0, 16])
-
-        # LAYOUT RULE: every per-query quantity is kept [T, qcap, 1]
-        # (queries in SUBLANES, like the [T, qcap, WINDOW] score), so
-        # all broadcasts against candidate rows [T, 1, WINDOW] are
-        # native sublane/lane replication — the lane-major [T, qcap]
-        # form would force a Mosaic relayout per op per window (~5x
-        # whole-kernel cost, measured on a v5e)
-        qx = q_ref[:, 0, :][:, :, None]
-        qy = q_ref[:, 1, :][:, :, None]
-        qz = q_ref[:, 2, :][:, :, None]
+        # LAYOUT RULE: every per-query quantity is [T, qcap, 1]
+        # (queries in SUBLANES like the [T, qcap, WINDOW] score) so
+        # all broadcasts are native sublane/lane replication
         ccx = ccx[:, :, None]
         ccy = ccy[:, :, None]
         ccz = ccz[:, :, None]
+        qx = q_ref[:, 0, :][:, :, None]
+        qy = q_ref[:, 1, :][:, :, None]
+        qz = q_ref[:, 2, :][:, :, None]
         tx = R00 * qx + R01 * qy + R02 * qz + t0
         ty = R10 * qx + R11 * qy + R12 * qz + t1
         tz = R20 * qx + R21 * qy + R22 * qz + t2
         ex = tx - ccx
         ey = ty - ccy
         ez = tz - ccz
-        qn = ex * ex + ey * ey + ez * ez
-        dqc = jnp.sqrt(qn)
+        qn1 = ex * ex + ey * ey + ez * ez + 1.0
+        dqc = jnp.sqrt(qn1 - 1.0)
         # expand the 32-bit value BEFORE comparing: Mosaic cannot
         # insert a minor dim on i1 vectors
         valid = qi_ref[:, :][:, :, None] >= 0
+        rr = jnp.sqrt(r2)
 
-        mb_ref[:] = jnp.full((T, qcap, 1), 3.0e18, jnp.float32)
-        for ch in range(nfetch):
-            acc[ch][:] = jnp.zeros((T, qcap, 1), jnp.float32)
+        def score_packed(lo):
+            cxk = c_ref[:, 0, lo:lo + WINDOW][:, None, :]
+            cyk = c_ref[:, 1, lo:lo + WINDOW][:, None, :]
+            czk = c_ref[:, 2, lo:lo + WINDOW][:, None, :]
+            cnk = c_ref[:, 3, lo:lo + WINDOW][:, None, :]
+            # v_pos = d^2 + 1 > 0, so the int32 bit pattern orders
+            # like the float and the window id can ride the low
+            # mantissa bits (error < 2^-19 relative at the +1 scale)
+            v_pos = cnk + ex * cxk + ey * cyk + ez * czk + qn1
+            return jax.lax.bitcast_convert_type(v_pos, jnp.int32) \
+                & ~masklo
 
-        def src_win(ch, lo):
-            # slice at the REF level: loading the full [T, KC] row per
-            # window would multiply VMEM traffic by the window count
-            if corres:
-                return x_ref[:, lo:lo + WINDOW]         # negidx
-            kind, c = fetch[ch]
-            if kind == "cand":
-                return c_ref[:, c, lo:lo + WINDOW]
-            return x_ref[:, c, lo:lo + WINDOW]
-
-        for k in range(KC // WINDOW):
-            lo = k * WINDOW
-            best = jnp.sqrt(jnp.maximum(
-                jnp.minimum(mb_ref[:] + qn, r2), 0.0))
+        # phase A: per-lane running min across windows; ONE vector op
+        # per window, no cross-lane reductions
+        ml_ref[:] = jnp.full((T, qcap, WINDOW), np.iinfo(np.int32).max,
+                             jnp.int32)
+        for k in range(NW):
             need = jnp.any(valid & (
-                best + dqc >= b_ref[:, k:k + 1][:, :, None]))
+                rr + dqc >= b_ref[:, k:k + 1][:, :, None]))
 
             @pl.when(need)
             def _():
-                cxk = c_ref[:, 0, lo:lo + WINDOW][:, None, :]
-                cyk = c_ref[:, 1, lo:lo + WINDOW][:, None, :]
-                czk = c_ref[:, 2, lo:lo + WINDOW][:, None, :]
-                cnk = c_ref[:, 3, lo:lo + WINDOW][:, None, :]
-                v = cnk + ex * cxk + ey * cyk + ez * czk
-                m = jnp.min(v, -1, keepdims=True)
-                prev = mb_ref[:]
-                upd = m < prev
-                mb_ref[:] = jnp.where(upd, m, prev)
-                eq = (v <= m) & upd
-                for ch in range(nfetch):
-                    f = jnp.max(jnp.where(
-                        eq, src_win(ch, lo)[:, None, :],
-                        float(-np.inf)), -1, keepdims=True)
-                    acc[ch][:] = jnp.where(upd, f, acc[ch][:])
+                pk = score_packed(k * WINDOW) | k
+                ml_ref[:] = jnp.minimum(ml_ref[:], pk)
 
-        d2 = mb_ref[:] + qn
+        mstar = jnp.min(ml_ref[:], -1, keepdims=True)  # [T, qcap, 1]
+        kstar = mstar & masklo
+        d2 = jax.lax.bitcast_convert_type(mstar & ~masklo,
+                                          jnp.float32) - 1.0
         ok = valid & (d2 <= r2)
+
+        # phase B: re-score ONLY windows that won some query and fetch
+        # the winner's packed attributes with masked int maxima
+        for ch in range(len(acc)):
+            if acc[ch].dtype == jnp.int32:
+                acc[ch][:] = jnp.zeros((T, qcap, 1), jnp.int32)
+            else:
+                acc[ch][:] = jnp.zeros((T, qcap, 1), jnp.float32)
+        for k in range(NW):
+            needb = jnp.any(ok & (kstar == k))
+
+            @pl.when(needb)
+            def _():
+                lo = k * WINDOW
+                pk = score_packed(lo) | k
+                eq = pk == mstar
+                sel = kstar == k
+                for ch in range(P if not corres else 0):
+                    f = jnp.max(jnp.where(
+                        eq, a_ref[:, ch, lo:lo + WINDOW][:, None, :],
+                        np.iinfo(np.int32).min), -1, keepdims=True)
+                    acc[ch][:] = jnp.where(sel, f, acc[ch][:])
+                if corres:
+                    f = jnp.max(jnp.where(
+                        eq, ni_ref[:, lo:lo + WINDOW][:, None, :],
+                        float(-np.inf)), -1, keepdims=True)
+                    acc[0][:] = jnp.where(sel, f, acc[0][:])
+
         if corres:
             outs[0][:] = jnp.where(ok, jnp.maximum(d2, 0.0),
                                    float(np.inf))[:, :, 0]
             outs[1][:] = jnp.where(ok, acc[0][:],
                                    float(-INVALID_INDEX))[:, :, 0]
             return
+
+        fetched = []
+        for f in range(2 * P):
+            lo_f = p_ref[0, 18 + 2 * f]
+            sc_f = p_ref[0, 19 + 2 * f]
+            fetched.append(_unpack16(acc[f // 2][:], lo_f, sc_f,
+                                     high=bool(f % 2)))
         d2c = jnp.where(ok, jnp.maximum(d2, 0.0), 0.0)
         if est == EST_SYM:
             s0 = q_ref[:, 3, :][:, :, None]
@@ -614,7 +688,6 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
                      R20 * s0 + R21 * s1 + R22 * s2)
         else:
             src_n = None
-        fetched = [acc[ch][:] for ch in range(nfetch)]
         terms = _gn_terms(est, fetched, tx, ty, tz, ex, ey, ez,
                           ccx, ccy, ccz, src_n, ok, d2c)
         # build the row with one-hot selects (Mosaic has no scatter)
@@ -627,22 +700,21 @@ def _make_fused_kernel(est: int, A: int, T: int, qcap: int, KC: int,
         # each program writes its own row
         outs[0][pl.ds(i, 1), :] = row
 
-    return kern, nfetch
+    return kern
 
 
-def _pick_tile(cp: int, kc: int, A: int, qcap: int) -> int:
-    """Largest tile (cells per program) fitting a ~11 MB VMEM budget.
-
-    Accounts for (a) double-buffered input blocks, (b) the [T, qcap,
-    WINDOW] score temporaries, and (c) ~14 live [T, qcap, 1] per-query
+def _pick_tile(cp: int, kc: int, P: int, qcap: int) -> int:
+    """Largest tile (cells per program) fitting a ~10 MB VMEM budget:
+    double-buffered input blocks, the [T, qcap, WINDOW] lane-min
+    scratch + score temporary, and ~12 live [T, qcap, 1] per-query
     tensors whose minor dim pads to a full 128-lane tile."""
     per_cell = (
-        2 * (4 + max(A, 1) + 1) * kc * 4        # cand+attr+bounds blocks
+        2 * (4 + max(P, 1) + 1) * kc * 4        # cand+attr+bounds blocks
         + 2 * 8 * qcap * 4                       # qsoa + qidx blocks
-        + 3 * qcap * WINDOW * 4                  # score v + eq temps
-        + 14 * qcap * WINDOW * 4                 # padded [T,qcap,1] regs
+        + 3 * qcap * WINDOW * 4                  # ml scratch + score
+        + 12 * qcap * WINDOW * 4                 # padded [T,qcap,1] regs
     )
-    t = max(8, min(64, (11 << 20) // per_cell // 8 * 8))
+    t = max(8, min(64, (10 << 20) // per_cell // 8 * 8))
     while cp % t:
         t -= 8
     return max(t, 8)
@@ -662,93 +734,101 @@ def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
     interpret = use_pallas == "interpret"
     cp, nq, qcap = qsoa.shape
     KC = grid.kc
-    A = grid.nch
+    P = grid.attrp.shape[1]
     NW = grid.n_windows
-    T = _pick_tile(cp, KC, A, qcap)
-    kern, nfetch = _make_fused_kernel(est, A, T, qcap, KC, grid.dims,
-                                      corres)
-    scratch = [pltpu.VMEM((T, qcap, 1), jnp.float32)
-               for _ in range(1 + nfetch)]
-    in_specs = [
-        pl.BlockSpec((1, 24), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((T, nq, qcap), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, qcap), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, 4, KC), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    T = _pick_tile(cp, KC, P, qcap)
+    kern = _make_fused_kernel(est, P, T, qcap, KC, grid.dims, corres)
+    scratch = [pltpu.VMEM((T, qcap, WINDOW), jnp.int32)]
     if corres:
-        in_specs.append(pl.BlockSpec((T, KC), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM))
-        x_in = grid.negidx
+        scratch += [pltpu.VMEM((T, qcap, 1), jnp.float32)]
         out_shape = [jax.ShapeDtypeStruct((cp, qcap), jnp.float32)] * 2
         out_specs = [pl.BlockSpec((T, qcap), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)] * 2
     else:
-        in_specs.append(pl.BlockSpec((T, max(A, 1), KC),
-                                     lambda i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        x_in = grid.attr if A else \
-            jnp.zeros((cp, 1, KC), jnp.float32)
+        scratch += [pltpu.VMEM((T, qcap, 1), jnp.int32)
+                    for _ in range(P)]
         out_shape = [jax.ShapeDtypeStruct((cp // T, N_SUMS),
                                           jnp.float32)]
         out_specs = [pl.BlockSpec((cp // T, N_SUMS), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)]
-    in_specs.append(pl.BlockSpec((T, NW), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM))
+    attrp = grid.attrp if P else jnp.zeros((cp, 1, KC), jnp.int32)
     outs = pl.pallas_call(
         kern,
         grid=(cp // T,),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((1, NPARAMS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, nq, qcap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, qcap), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 4, KC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, max(P, 1), KC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, KC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, NW), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(params.reshape(1, 24), qsoa, qidx, grid.cand, x_in, grid.bounds)
+    )(params.reshape(1, NPARAMS), qsoa, qidx, grid.cand, attrp,
+      grid.negidx, grid.bounds)
     return tuple(outs) if corres else outs[0]
 
 
 def _fused_query_xla(grid: RunGrid, qsoa, qidx, params, est: int,
                      corres: bool):
-    """Reference semantics on any backend (no window gating); used by
-    the CPU test suite and as the non-TPU fallback."""
+    """Reference semantics on any backend (no window gating) with the
+    SAME packed-score arithmetic as the Pallas kernel, so both paths
+    agree bit-for-bit; used by the CPU test suite and as the non-TPU
+    fallback."""
     cp, nq, qcap = qsoa.shape
     KC = grid.kc
-    A = grid.nch
+    P = grid.attrp.shape[1]
+    NW = grid.n_windows
+    nbits = max(1, (NW - 1).bit_length())
+    masklo = (1 << nbits) - 1
     T = 8
     n = cp // T
     R = params[:9].reshape(3, 3)
     t = params[9:12]
     r2 = params[12]
     centers = cell_centers(grid.dims, params[13:16], params[16], cp)
-    fetch = _fetch_plan(est)
+    lane_k = jnp.repeat(jnp.arange(NW, dtype=jnp.int32), WINDOW)
 
     def body(args):
         q, qi, c, a, ni, cen = args
         qw = jnp.einsum("ij,tjq->tiq", R, q[:, 0:3, :]) + t[None, :, None]
         e = qw - cen[:, :, None]
-        qn = jnp.sum(e * e, 1)
-        v = c[:, 3, None, :] \
+        qn1 = jnp.sum(e * e, 1) + 1.0
+        v_pos = c[:, 3, None, :] \
             + e[:, 0, :, None] * c[:, 0, None, :] \
             + e[:, 1, :, None] * c[:, 1, None, :] \
-            + e[:, 2, :, None] * c[:, 2, None, :]
-        m = jnp.min(v, -1)
-        eq = v <= m[:, :, None]
-        d2 = m + qn
+            + e[:, 2, :, None] * c[:, 2, None, :] + qn1[:, :, None]
+        pk = (jax.lax.bitcast_convert_type(v_pos, jnp.int32)
+              & ~masklo) | lane_k[None, None, :]
+        mstar = jnp.min(pk, -1)
+        d2 = jax.lax.bitcast_convert_type(mstar & ~masklo,
+                                          jnp.float32) - 1.0
         ok = (qi >= 0) & (d2 <= r2)
+        eq = pk == mstar[:, :, None]
         if corres:
             fi = jnp.max(jnp.where(eq, ni[:, None, :], -jnp.inf), -1)
             return (jnp.where(ok, jnp.maximum(d2, 0.0), jnp.inf),
                     jnp.where(ok, fi, -float(INVALID_INDEX)))
 
-        def fetch_ch(kind, ch):
-            src = c[:, ch, None, :] if kind == "cand" \
-                else a[:, ch, None, :]
-            return jnp.max(jnp.where(eq, src, -jnp.inf), -1)
-
-        fetched = [jnp.where(ok, fetch_ch(k_, c_), 0.0)
-                   for (k_, c_) in fetch]
+        fetched = []
+        for ch in range(P):
+            w = jnp.max(jnp.where(eq, a[:, ch, None, :],
+                                  np.iinfo(np.int32).min), -1)
+            for high in (False, True):
+                f = 2 * ch + int(high)
+                fetched.append(_unpack16(w, params[18 + 2 * f],
+                                         params[19 + 2 * f], high))
         tx, ty, tz = qw[:, 0, :], qw[:, 1, :], qw[:, 2, :]
         ex, ey, ez = e[:, 0, :], e[:, 1, :], e[:, 2, :]
         d2c = jnp.where(ok, jnp.maximum(d2, 0.0), 0.0)
@@ -765,11 +845,11 @@ def _fused_query_xla(grid: RunGrid, qsoa, qidx, params, est: int,
             row = row.at[s].set(jnp.sum(term))
         return row
 
-    attr = grid.attr if A else jnp.zeros((cp, 1, KC), jnp.float32)
+    attrp = grid.attrp if P else jnp.zeros((cp, 1, KC), jnp.int32)
     args = (qsoa.reshape(n, T, nq, qcap),
             qidx.reshape(n, T, qcap),
             grid.cand.reshape(n, T, 4, KC),
-            attr.reshape(n, T, max(A, 1), KC),
+            attrp.reshape(n, T, max(P, 1), KC),
             grid.negidx.reshape(n, T, KC),
             centers.reshape(n, T, 3))
     out = jax.lax.map(body, args)
@@ -793,8 +873,7 @@ def query_nn_rungrid(grid: RunGrid, queries, radius, qcap: int,
                              grid.cell_size, grid.dims, qcap,
                              mask=query_mask)
     params = make_params(jnp.eye(4, dtype=jnp.float32),
-                         jnp.asarray(radius, jnp.float32) ** 2,
-                         grid.origin, grid.cell_size)
+                         jnp.asarray(radius, jnp.float32) ** 2, grid)
     d2, nidx = fused_query(grid, qsoa, qidx, params, EST_NONE, True,
                            use_pallas=use_pallas)
     idx = jnp.where(jnp.isfinite(d2), -nidx,
@@ -1028,7 +1107,7 @@ def gmm_moments(grid: RunGrid, qsoa, qidx, params,
             kern,
             grid=(cp // T,),
             in_specs=[
-                pl.BlockSpec((1, 24), lambda i: (0, 0),
+                pl.BlockSpec((1, NPARAMS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((T, nq, qcap), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -1046,7 +1125,8 @@ def gmm_moments(grid: RunGrid, qsoa, qidx, params,
             scratch_shapes=[pltpu.VMEM((T, qcap, 1), jnp.float32)
                             for _ in range(5)],
             interpret=interpret,
-        )(params.reshape(1, 24), qsoa, qidx, grid.cand, grid.bounds)
+        )(params.reshape(1, NPARAMS), qsoa, qidx, grid.cand,
+          grid.bounds)
         m0, m1x, m1y, m1z, m2 = outs
     else:
         m0, m1x, m1y, m1z, m2 = _gmm_moments_xla(grid, qsoa, qidx,

@@ -85,7 +85,7 @@ def sharded_registration_icp(
 
     tgt_j = jnp.asarray(tgt_np, jnp.float32)
     tn_j = jnp.asarray(tgt_normals_np, jnp.float32)
-    attrs, plane_offset = fused_icp.make_target_attrs(
+    attrs, est_code = fused_icp.make_target_attrs(
         est_type, tgt_j, tn_j)
     init = np.eye(4, dtype=np.float32) if init_T is None else \
         np.asarray(init_T, np.float32)
@@ -108,7 +108,7 @@ def sharded_registration_icp(
     def run():
         grid = rungrid.make_rungrid(
             tgt_j, attrs, plan["origin"], plan["cell_size"],
-            plan["dims"], plan["cap"], plane_offset=plane_offset)
+            plan["dims"], plan["cap"], est=est_code)
         grid = jax.device_put(grid, rep)
         return fn(src_j, mask_j, nrm_j, grid,
                   jax.device_put(jnp.asarray(init), rep),

@@ -201,9 +201,8 @@ def _filterreg_core_grid(src, src_mask, grid, init_T, sigma_initial,
 
     def e_step(T, sigma, qsoa, qidx):
         inv_2s2 = 1.0 / (2.0 * sigma * sigma)
-        params = rg.make_params(T, trunc_radius ** 2, grid.origin,
-                                grid.cell_size)
-        params = params.at[17].set(inv_2s2)
+        params = rg.make_params(T, trunc_radius ** 2, grid,
+                                inv_2s2=inv_2s2)
         m0, M1, M2 = rg.gmm_moments(grid, qsoa, qidx, params,
                                     use_pallas=use_pallas)
         good = (m0 >= 1e-2) & (qidx >= 0)

@@ -56,15 +56,17 @@ def _est_code(est_type: TransformationEstimationType) -> int:
 
 
 def make_target_attrs(est_type, tgt_pts, tgt_normals):
-    """Per-target attribute channels for the rungrid kernel (target
-    point coordinates ride in the grid's own candidate channels)."""
+    """Per-target attribute channels for the rungrid build (target
+    point coordinates ride in the grid's own candidate channels);
+    returns (attrs, est_code for the est-aware build/kernels)."""
+    est = _est_code(est_type)
     if est_type == TransformationEstimationType.PointToPoint:
-        return jnp.zeros((tgt_pts.shape[0], 0), jnp.float32), False
+        return jnp.zeros((tgt_pts.shape[0], 0), jnp.float32), est
     if est_type == TransformationEstimationType.PointToPlane:
         d = jnp.sum(tgt_normals * tgt_pts, -1, keepdims=True)
-        return jnp.concatenate([tgt_normals, d], -1), True
+        return jnp.concatenate([tgt_normals, d], -1), est
     if est_type == TransformationEstimationType.SymmetricMethod:
-        return tgt_normals, False
+        return tgt_normals, est
     raise ValueError(f"unsupported estimator {est_type}")
 
 
@@ -162,7 +164,7 @@ def icp_core_rungrid(
             n_extra=n_extra, mask=src_mask)
 
     def gn_pass(T, qsoa, qidx):
-        params = rungrid.make_params(T, r2, grid.origin, grid.cell_size)
+        params = rungrid.make_params(T, r2, grid)
         partial_sums = rungrid.fused_query(
             grid, qsoa, qidx, params, est, False, use_pallas=use_pallas)
         sums = jnp.sum(partial_sums, 0)
@@ -204,7 +206,7 @@ def icp_core_rungrid(
     qsoa, qidx = jax.lax.cond(
         disp > rebin_margin, lambda _: rebin(T),
         lambda _: (qsoa, qidx), None)
-    params = rungrid.make_params(T, r2, grid.origin, grid.cell_size)
+    params = rungrid.make_params(T, r2, grid)
     d2, nidx = rungrid.fused_query(grid, qsoa, qidx, params,
                                    rungrid.EST_NONE, True,
                                    use_pallas=use_pallas)

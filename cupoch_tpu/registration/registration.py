@@ -323,7 +323,7 @@ def registration_icp(
         src_np = np.asarray(source.points)
         initn = np.asarray(init_T)
         src_np_t = src_np @ initn[:3, :3].T + initn[:3, 3]
-        attrs, plane_offset = fused_icp.make_target_attrs(
+        attrs, est_code = fused_icp.make_target_attrs(
             est_type, tgt, tgt_normals)
         plan = rungrid.plan_rungrid(
             np.asarray(target.points), max_correspondence_distance,
@@ -332,7 +332,7 @@ def registration_icp(
             grid = rungrid.make_rungrid(
                 tgt, attrs, plan["origin"], plan["cell_size"],
                 plan["dims"], plan["cap"], mask=tgt_mask,
-                plane_offset=plane_offset)
+                est=est_code)
             T, idx, fit, rmse, it = fused_icp.icp_core_rungrid(
                 src, src_mask, src_normals, grid, init_T,
                 jnp.float32(max_correspondence_distance),

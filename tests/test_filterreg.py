@@ -85,9 +85,8 @@ def test_grid_estep_matches_dense(rng):
                                 grid.origin, grid.cell_size, grid.dims,
                                 plan["qcap"])
     params = rg.make_params(jnp.eye(4, dtype=jnp.float32),
-                            jnp.float32(trunc) ** 2, grid.origin,
-                            grid.cell_size)
-    params = params.at[17].set(jnp.float32(inv_2s2))
+                            jnp.float32(trunc) ** 2, grid,
+                            inv_2s2=jnp.float32(inv_2s2))
     m0, M1, M2 = rg.gmm_moments(grid, qsoa, qidx, params)
 
     # scatter back to query order

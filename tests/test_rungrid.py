@@ -9,14 +9,14 @@ from cupoch_tpu.registration import fused_icp
 from cupoch_tpu.registration.estimation import TransformationEstimationType
 
 
-def _make_grid(tgt, r, nch=0, attrs=None, plane_offset=False, **kw):
+def _make_grid(tgt, r, nch=0, attrs=None, est=rungrid.EST_NONE, **kw):
     plan = rungrid.plan_rungrid(tgt, r, margin=0.0, **kw)
     assert plan is not None
     if attrs is None:
         attrs = jnp.zeros((tgt.shape[0], nch), jnp.float32)
     grid = rungrid.make_rungrid(
         jnp.asarray(tgt), attrs, plan["origin"], plan["cell_size"],
-        plan["dims"], plan["cap"], plane_offset=plane_offset)
+        plan["dims"], plan["cap"], est=est)
     return grid, plan
 
 
@@ -74,13 +74,13 @@ def test_fused_icp_converges(rng, est_type):
     # src transformed by T_true^-1: ICP should recover T_true
     src = (tgt - t_true) @ R
 
-    attrs, plane_offset = fused_icp.make_target_attrs(
+    attrs, est_code = fused_icp.make_target_attrs(
         est_type, jnp.asarray(tgt), jnp.asarray(tn))
     r = 0.07
     plan = rungrid.plan_rungrid(tgt, r, margin=0.25, query_points=src)
     grid = rungrid.make_rungrid(
         jnp.asarray(tgt), attrs, plan["origin"], plan["cell_size"],
-        plan["dims"], plan["cap"], plane_offset=plane_offset)
+        plan["dims"], plan["cap"], est=est_code)
     src_n = (rng.normal(size=(n, 3)) if est_type
              != TransformationEstimationType.SymmetricMethod else tn @ R)
     src_n = (src_n / np.linalg.norm(src_n, axis=1, keepdims=True)
@@ -124,12 +124,12 @@ def test_fused_icp_matches_legacy_metrics(rng):
         jnp.eye(4, dtype=jnp.float32), jnp.float32(r),
         jnp.float32(1e-6), jnp.float32(1e-6), est, 12, False)
 
-    attrs, plane_offset = fused_icp.make_target_attrs(
+    attrs, est_code = fused_icp.make_target_attrs(
         est, jnp.asarray(tgt), jnp.asarray(tn))
     plan = rungrid.plan_rungrid(tgt, r, margin=0.25, query_points=src)
     grid = rungrid.make_rungrid(
         jnp.asarray(tgt), attrs, plan["origin"], plan["cell_size"],
-        plan["dims"], plan["cap"], plane_offset=plane_offset)
+        plan["dims"], plan["cap"], est=est_code)
     T_f, idx_f, fit_f, rmse_f, it_f = fused_icp.icp_core_rungrid(
         jnp.asarray(src), mask, jnp.zeros((n, 3), jnp.float32), grid,
         jnp.eye(4, dtype=jnp.float32), jnp.float32(r),
@@ -150,19 +150,18 @@ def test_pallas_interpret_matches_xla(rng):
     q = rng.uniform(size=(800, 3)).astype(np.float32)
     r = 0.09
     est = TransformationEstimationType.PointToPlane
-    attrs, plane_offset = fused_icp.make_target_attrs(
+    attrs, est_code = fused_icp.make_target_attrs(
         est, jnp.asarray(tgt), jnp.asarray(tn))
     plan = rungrid.plan_rungrid(tgt, r, margin=0.0)
     grid = rungrid.make_rungrid(
         jnp.asarray(tgt), attrs, plan["origin"], plan["cell_size"],
-        plan["dims"], plan["cap"], plane_offset=plane_offset)
+        plan["dims"], plan["cap"], est=est_code)
     qsoa, qidx = rungrid.bin_queries(
         jnp.asarray(q), jnp.asarray(q), grid.origin, grid.cell_size,
         grid.dims, plan["qcap"])
     T = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(
         jnp.asarray([0.002, -0.001, 0.003]))
-    params = rungrid.make_params(T, jnp.float32(r) ** 2, grid.origin,
-                                 grid.cell_size)
+    params = rungrid.make_params(T, jnp.float32(r) ** 2, grid)
     # corres mode
     d2_p, ni_p = rungrid.fused_query(grid, qsoa, qidx, params,
                                      rungrid.EST_NONE, True,
