@@ -1,11 +1,13 @@
 """Benchmark harness — prints ONE JSON line.
 
 Headline metric (BASELINE.json): point-to-plane ICP registration
-frames/s per chip at 1M source points. ``vs_baseline`` compares against
-the reference GTX 1070 throughput target (>=2x is the goal). The
-cupoch reference publishes no absolute numbers (BASELINE.md); we use a
+frames/s per chip at 1M source points, through the production
+`registration_icp` fast path (run-grid build + fully-fused Pallas ICP
+loop, registration/fused_icp.py). ``vs_baseline`` compares against the
+reference GTX 1070 throughput target (>=2x is the goal). The cupoch
+reference publishes no absolute numbers (BASELINE.md); we use a
 conservative reconstruction of its GTX1070 ICP rate on 1M points
-(~2.5 fps for a full 30-iteration pt2plane ICP including per-iteration
+(~2.5 fps for a full 20-iteration pt2plane ICP including per-iteration
 kd-tree queries) as baseline 1.0.
 """
 import json
@@ -18,12 +20,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from cupoch_tpu.knn import rollgrid
-    from cupoch_tpu.registration.registration import _icp_core
-    from cupoch_tpu.registration.estimation import TransformationEstimationType
+    from cupoch_tpu.knn import rungrid
+    from cupoch_tpu.registration import fused_icp
+    from cupoch_tpu.registration.estimation import (
+        TransformationEstimationType,
+    )
 
-    N = 1_000_000
-    M = 1_000_000
+    N = M = 1_000_000
     ITERS = 20        # max ICP iterations per frame
     REL_TOL = 1e-6    # ICPConvergenceCriteria defaults, matching the
     # reference's benchmarks.py which runs registration_icp with
@@ -39,32 +42,31 @@ def main():
     tgt_normals /= np.linalg.norm(tgt_normals, axis=1, keepdims=True)
     ang = 0.02
     R = np.asarray(
-        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
-        np.float32,
-    )
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0],
+         [0, 0, 1]], np.float32)
     src = (tgt - np.float32([0.01, -0.02, 0.005])) @ R
 
     src_j = jnp.asarray(src)
     tgt_j = jnp.asarray(tgt)
     tn_j = jnp.asarray(tgt_normals)
-    mask_s = jnp.ones(N, bool)
-    mask_t = jnp.ones(M, bool)
+    mask = jnp.ones(N, bool)
     T0 = jnp.eye(4, dtype=jnp.float32)
+    est = TransformationEstimationType.PointToPlane
+    attrs, est_code = fused_icp.make_target_attrs(est, tgt_j, tn_j)
+    plan = rungrid.plan_rungrid(tgt, 0.05, query_points=src,
+                                nch=int(attrs.shape[1]))
 
-    # dense roll-grid correspondence (Pallas-fused on TPU); a frame =
-    # grid build + the full fused ICP loop
-    plan = rollgrid.plan_rollgrid(tgt, 0.05)
-
+    # a frame = run-grid build over the target + the full fused ICP
+    # loop (correspondence + in-kernel GN reduction per iteration)
     def run():
-        grid = rollgrid.build_rollgrid(
-            tgt_j, jnp.asarray(plan["origin"]), plan["cell_size"],
-            plan["dims"], plan["cap"], mask=mask_t)
-        T, idx, fit, rmse, it = _icp_core(
-            src_j, mask_s, jnp.zeros_like(src_j), tgt_j, mask_t, tn_j, T0,
-            jnp.float32(0.05), jnp.float32(REL_TOL), jnp.float32(REL_TOL),
-            TransformationEstimationType.PointToPlane, ITERS, "roll",
-            roll_grid=grid,
-        )
+        grid = rungrid.make_rungrid(
+            tgt_j, attrs, plan["origin"], plan["cell_size"],
+            plan["dims"], plan["cap"], mask=mask, est=est_code)
+        T, idx, fit, rmse, it = fused_icp.icp_core_rungrid(
+            src_j, mask, jnp.zeros_like(src_j), grid, T0,
+            jnp.float32(0.05), plan["rebin_margin"],
+            jnp.float32(REL_TOL), jnp.float32(REL_TOL),
+            plan["qcap"], est, ITERS)
         return T, fit, rmse, it
 
     # warm-up / compile. NOTE: block_until_ready does not wait for

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..knn import bruteforce, cellgrid, gridhash, packgrid, rollgrid
+from ..knn import bruteforce, cellgrid, gridhash, rollgrid
 from ..utility import console
 from ..utility.shape import bucket_size, pad_axis0, valid_mask
 from ..utility.transforms import transform_points
