@@ -567,15 +567,13 @@ def _unpack16(word, lo, scale, high: bool):
 def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
                        dims, corres: bool):
     NW = KC // WINDOW
-    nbits = max(1, (NW - 1).bit_length())
-    masklo = (1 << nbits) - 1
 
     def kern(p_ref, q_ref, qi_ref, c_ref, a_ref, ni_ref, b_ref,
              *out_and_scratch):
         n_out = 2 if corres else 1
         outs = out_and_scratch[:n_out]
-        ml_ref = out_and_scratch[n_out]           # [T, qcap, WINDOW] i32
-        acc = out_and_scratch[n_out + 1:]         # per packed ch (+neg)
+        ml_ref = out_and_scratch[n_out]           # [T, qcap, WINDOW] f32
+        acc = out_and_scratch[n_out + 1:]         # winner-lane attrs
         i = pl.program_id(0)
         R00, R01, R02 = p_ref[0, 0], p_ref[0, 1], p_ref[0, 2]
         R10, R11, R12 = p_ref[0, 3], p_ref[0, 4], p_ref[0, 5]
@@ -600,84 +598,73 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
         ex = tx - ccx
         ey = ty - ccy
         ez = tz - ccz
-        qn1 = ex * ex + ey * ey + ez * ez + 1.0
-        dqc = jnp.sqrt(qn1 - 1.0)
+        qn = ex * ex + ey * ey + ez * ez
+        dqc = jnp.sqrt(qn)
         # expand the 32-bit value BEFORE comparing: Mosaic cannot
         # insert a minor dim on i1 vectors
         valid = qi_ref[:, :][:, :, None] >= 0
         rr = jnp.sqrt(r2)
 
-        def score_packed(lo):
-            cxk = c_ref[:, 0, lo:lo + WINDOW][:, None, :]
-            cyk = c_ref[:, 1, lo:lo + WINDOW][:, None, :]
-            czk = c_ref[:, 2, lo:lo + WINDOW][:, None, :]
-            cnk = c_ref[:, 3, lo:lo + WINDOW][:, None, :]
-            # v_pos = d^2 + 1 > 0, so the int32 bit pattern orders
-            # like the float and the window id can ride the low
-            # mantissa bits (error < 2^-19 relative at the +1 scale)
-            v_pos = cnk + ex * cxk + ey * cyk + ez * czk + qn1
-            return jax.lax.bitcast_convert_type(v_pos, jnp.int32) \
-                & ~masklo
-
-        # phase A: per-lane running min across windows; ONE vector op
-        # per window, no cross-lane reductions
-        ml_ref[:] = jnp.full((T, qcap, WINDOW), np.iinfo(np.int32).max,
-                             jnp.int32)
+        # single pass: per-lane running min across windows, tracking
+        # the winning lane's attribute words elementwise alongside it
+        # (asel) — NO cross-lane reductions inside the window loop and
+        # no second pass; the winner is resolved by one lane-reduce
+        # set at the end
+        ml_ref[:] = jnp.full((T, qcap, WINDOW), BIG, jnp.float32)
+        nsel = 1 if corres else P
+        for ch in range(nsel):
+            if acc[ch].dtype == jnp.int32:
+                acc[ch][:] = jnp.zeros((T, qcap, WINDOW), jnp.int32)
+            else:
+                acc[ch][:] = jnp.zeros((T, qcap, WINDOW), jnp.float32)
         for k in range(NW):
             need = jnp.any(valid & (
                 rr + dqc >= b_ref[:, k:k + 1][:, :, None]))
 
             @pl.when(need)
             def _():
-                pk = score_packed(k * WINDOW) | k
-                ml_ref[:] = jnp.minimum(ml_ref[:], pk)
-
-        mstar = jnp.min(ml_ref[:], -1, keepdims=True)  # [T, qcap, 1]
-        kstar = mstar & masklo
-        d2 = jax.lax.bitcast_convert_type(mstar & ~masklo,
-                                          jnp.float32) - 1.0
-        ok = valid & (d2 <= r2)
-
-        # phase B: re-score ONLY windows that won some query and fetch
-        # the winner's packed attributes with masked int maxima
-        for ch in range(len(acc)):
-            if acc[ch].dtype == jnp.int32:
-                acc[ch][:] = jnp.zeros((T, qcap, 1), jnp.int32)
-            else:
-                acc[ch][:] = jnp.zeros((T, qcap, 1), jnp.float32)
-        for k in range(NW):
-            needb = jnp.any(ok & (kstar == k))
-
-            @pl.when(needb)
-            def _():
                 lo = k * WINDOW
-                pk = score_packed(lo) | k
-                eq = pk == mstar
-                sel = kstar == k
-                for ch in range(P if not corres else 0):
-                    f = jnp.max(jnp.where(
-                        eq, a_ref[:, ch, lo:lo + WINDOW][:, None, :],
-                        np.iinfo(np.int32).min), -1, keepdims=True)
-                    acc[ch][:] = jnp.where(sel, f, acc[ch][:])
+                cxk = c_ref[:, 0, lo:lo + WINDOW][:, None, :]
+                cyk = c_ref[:, 1, lo:lo + WINDOW][:, None, :]
+                czk = c_ref[:, 2, lo:lo + WINDOW][:, None, :]
+                cnk = c_ref[:, 3, lo:lo + WINDOW][:, None, :]
+                v = cnk + ex * cxk + ey * cyk + ez * czk
+                prev = ml_ref[:]
+                upd = v < prev
+                ml_ref[:] = jnp.where(upd, v, prev)
                 if corres:
-                    f = jnp.max(jnp.where(
-                        eq, ni_ref[:, lo:lo + WINDOW][:, None, :],
-                        float(-np.inf)), -1, keepdims=True)
-                    acc[0][:] = jnp.where(sel, f, acc[0][:])
+                    acc[0][:] = jnp.where(
+                        upd, ni_ref[:, lo:lo + WINDOW][:, None, :],
+                        acc[0][:])
+                else:
+                    for ch in range(P):
+                        acc[ch][:] = jnp.where(
+                            upd, a_ref[:, ch, lo:lo + WINDOW][:, None, :],
+                            acc[ch][:])
+
+        mv = jnp.min(ml_ref[:], -1, keepdims=True)     # [T, qcap, 1]
+        d2 = mv + qn
+        ok = valid & (d2 <= r2)
+        eq = ml_ref[:] <= mv                            # winner lane(s)
 
         if corres:
+            fi = jnp.max(jnp.where(eq, acc[0][:], float(-np.inf)), -1,
+                         keepdims=True)
             outs[0][:] = jnp.where(ok, jnp.maximum(d2, 0.0),
                                    float(np.inf))[:, :, 0]
-            outs[1][:] = jnp.where(ok, acc[0][:],
+            outs[1][:] = jnp.where(ok, fi,
                                    float(-INVALID_INDEX))[:, :, 0]
             return
 
         fetched = []
-        for f in range(2 * P):
-            lo_f = p_ref[0, 18 + 2 * f]
-            sc_f = p_ref[0, 19 + 2 * f]
-            fetched.append(_unpack16(acc[f // 2][:], lo_f, sc_f,
-                                     high=bool(f % 2)))
+        for ch in range(P):
+            w = jnp.max(jnp.where(eq, acc[ch][:],
+                                  np.iinfo(np.int32).min), -1,
+                        keepdims=True)
+            for high in (False, True):
+                f = 2 * ch + int(high)
+                fetched.append(_unpack16(w, p_ref[0, 18 + 2 * f],
+                                         p_ref[0, 19 + 2 * f], high))
         d2c = jnp.where(ok, jnp.maximum(d2, 0.0), 0.0)
         if est == EST_SYM:
             s0 = q_ref[:, 3, :][:, :, None]
@@ -738,14 +725,14 @@ def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
     NW = grid.n_windows
     T = _pick_tile(cp, KC, P, qcap)
     kern = _make_fused_kernel(est, P, T, qcap, KC, grid.dims, corres)
-    scratch = [pltpu.VMEM((T, qcap, WINDOW), jnp.int32)]
+    scratch = [pltpu.VMEM((T, qcap, WINDOW), jnp.float32)]
     if corres:
-        scratch += [pltpu.VMEM((T, qcap, 1), jnp.float32)]
+        scratch += [pltpu.VMEM((T, qcap, WINDOW), jnp.float32)]
         out_shape = [jax.ShapeDtypeStruct((cp, qcap), jnp.float32)] * 2
         out_specs = [pl.BlockSpec((T, qcap), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)] * 2
     else:
-        scratch += [pltpu.VMEM((T, qcap, 1), jnp.int32)
+        scratch += [pltpu.VMEM((T, qcap, WINDOW), jnp.int32)
                     for _ in range(P)]
         out_shape = [jax.ShapeDtypeStruct((cp // T, N_SUMS),
                                           jnp.float32)]
@@ -782,40 +769,32 @@ def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
 
 def _fused_query_xla(grid: RunGrid, qsoa, qidx, params, est: int,
                      corres: bool):
-    """Reference semantics on any backend (no window gating) with the
-    SAME packed-score arithmetic as the Pallas kernel, so both paths
-    agree bit-for-bit; used by the CPU test suite and as the non-TPU
-    fallback."""
+    """Reference semantics on any backend (no window gating), with
+    the same quantized attribute fetch as the Pallas kernel; used by
+    the CPU test suite and as the non-TPU fallback."""
     cp, nq, qcap = qsoa.shape
     KC = grid.kc
     P = grid.attrp.shape[1]
-    NW = grid.n_windows
-    nbits = max(1, (NW - 1).bit_length())
-    masklo = (1 << nbits) - 1
     T = 8
     n = cp // T
     R = params[:9].reshape(3, 3)
     t = params[9:12]
     r2 = params[12]
     centers = cell_centers(grid.dims, params[13:16], params[16], cp)
-    lane_k = jnp.repeat(jnp.arange(NW, dtype=jnp.int32), WINDOW)
 
     def body(args):
         q, qi, c, a, ni, cen = args
         qw = jnp.einsum("ij,tjq->tiq", R, q[:, 0:3, :]) + t[None, :, None]
         e = qw - cen[:, :, None]
-        qn1 = jnp.sum(e * e, 1) + 1.0
-        v_pos = c[:, 3, None, :] \
+        qn = jnp.sum(e * e, 1)
+        v = c[:, 3, None, :] \
             + e[:, 0, :, None] * c[:, 0, None, :] \
             + e[:, 1, :, None] * c[:, 1, None, :] \
-            + e[:, 2, :, None] * c[:, 2, None, :] + qn1[:, :, None]
-        pk = (jax.lax.bitcast_convert_type(v_pos, jnp.int32)
-              & ~masklo) | lane_k[None, None, :]
-        mstar = jnp.min(pk, -1)
-        d2 = jax.lax.bitcast_convert_type(mstar & ~masklo,
-                                          jnp.float32) - 1.0
+            + e[:, 2, :, None] * c[:, 2, None, :]
+        m = jnp.min(v, -1)
+        d2 = m + qn
         ok = (qi >= 0) & (d2 <= r2)
-        eq = pk == mstar[:, :, None]
+        eq = v <= m[:, :, None]
         if corres:
             fi = jnp.max(jnp.where(eq, ni[:, None, :], -jnp.inf), -1)
             return (jnp.where(ok, jnp.maximum(d2, 0.0), jnp.inf),

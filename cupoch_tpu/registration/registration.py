@@ -362,20 +362,48 @@ def registration_icp(
 def evaluate_registration(
     source, target, max_correspondence_distance: float, transformation=None
 ) -> RegistrationResult:
-    """reference: EvaluateRegistration (registration.cu:95-120)."""
+    """reference: EvaluateRegistration (registration.cu:95-120).
+
+    One correspondence pass: brute force below the grid threshold,
+    one fused run-grid corres pass above it (no iteration machinery,
+    no estimator precompute)."""
     T = jnp.eye(4, dtype=jnp.float32) if transformation is None else jnp.asarray(
         transformation, jnp.float32)
     src, src_mask, _ = _prep(source, False)
     tgt, tgt_mask, _ = _prep(target, False)
-    use_grid, roll_grid = _choose_corres(
-        target, tgt, tgt_mask, max_correspondence_distance)
+    n_tgt = target.points.shape[0]
+    if n_tgt > _GRID_THRESHOLD:
+        from ..knn import rungrid
+
+        src_np = np.asarray(source.points)
+        Tn = np.asarray(T)
+        src_t = src_np @ Tn[:3, :3].T + Tn[:3, 3]
+        plan = rungrid.plan_rungrid(
+            np.asarray(target.points), max_correspondence_distance,
+            margin=0.0, query_points=src_t, nch=0)
+        if plan is not None:
+            grid = rungrid.make_rungrid(
+                tgt, jnp.zeros((tgt.shape[0], 0), jnp.float32),
+                plan["origin"], plan["cell_size"], plan["dims"],
+                plan["cap"], mask=tgt_mask)
+            src_t_j = transform_points(T, src)
+            idx, d2 = rungrid.query_nn_rungrid(
+                grid, src_t_j, jnp.float32(max_correspondence_distance),
+                plan["qcap"], query_mask=src_mask)
+            ok = np.asarray(idx) >= 0
+            cnt = int(ok.sum())
+            fit = cnt / max(len(source), 1)
+            d2n = np.asarray(d2)
+            rmse = float(np.sqrt(d2n[ok].sum() / max(cnt, 1))) if cnt \
+                else 0.0
+            return _make_result(T, jnp.asarray(idx), fit, rmse,
+                                len(source))
 
     T_out, idx, fit, rmse, _ = _icp_core(
         src, src_mask, jnp.zeros_like(src), tgt, tgt_mask,
         jnp.zeros_like(tgt), T,
         jnp.float32(max_correspondence_distance),
         jnp.float32(0.0), jnp.float32(0.0),
-        TransformationEstimationType.PointToPoint, 0, use_grid,
-        roll_grid=roll_grid,
+        TransformationEstimationType.PointToPoint, 0, False,
     )
     return _make_result(T_out, idx, fit, rmse, len(source))
