@@ -131,27 +131,41 @@ class UniformTSDFVolume(TSDFVolume):
     def extract_point_cloud(self) -> PointCloud:
         """Zero-crossing surface points (reference:
         UniformTSDFVolume::ExtractPointCloud,
-        uniform_tsdfvolume.cu:703-740 + extract_pointcloud_functor)."""
+        uniform_tsdfvolume.cu:703-740 + extract_pointcloud_functor).
+
+        Compaction runs on device (count -> nonzero with a static
+        size -> gather); the host only sizes the capacity bucket and
+        trims the padded output."""
         mask, frac, grad = tsdf_ops.surface_crossings(
             self.tsdf, self.weight, jnp.float32(self.voxel_length),
             jnp.asarray(self.origin), self.resolution)
-        m = np.asarray(mask)
-        fr = np.asarray(frac)
-        gr = np.asarray(grad)
-        ii, jj, kk, aa = np.nonzero(m)
-        if len(ii) == 0:
+        flat = mask.reshape(-1)
+        count = int(jnp.sum(flat))
+        if count == 0:
             return PointCloud()
-        base = (np.stack([ii, jj, kk], -1).astype(np.float32) + 0.5) \
-            * self.voxel_length + self.origin
-        offs = np.zeros((len(ii), 3), np.float32)
-        offs[np.arange(len(ii)), aa] = fr[ii, jj, kk, aa] * self.voxel_length
+        cap = _next_bucket(count)
+        (ids,) = jnp.nonzero(flat, size=cap, fill_value=0)
+        C3 = mask.shape[0]
+        aa = ids % 3
+        lin = ids // 3
+        kk = lin % C3
+        jj = (lin // C3) % C3
+        ii = lin // (C3 * C3)
+        base = (jnp.stack([ii, jj, kk], -1).astype(jnp.float32) + 0.5) \
+            * self.voxel_length + jnp.asarray(self.origin)
+        fr = frac.reshape(-1)[ids] * self.voxel_length
+        offs = jnp.where(jnp.arange(3)[None, :] == aa[:, None],
+                         fr[:, None], 0.0)
         pts = base + offs
-        pcd = PointCloud(pts)
-        n = gr[ii, jj, kk]
-        norm = np.linalg.norm(n, axis=-1, keepdims=True)
-        pcd.normals = n / np.maximum(norm, 1e-12)
+        n = grad.reshape(-1, 3)[lin]
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            1e-12)
+        pcd = PointCloud(np.asarray(pts)[:count])
+        pcd.normals = np.asarray(n)[:count]
         if self.color_type != TSDFVolumeColorType.NoColor:
-            c = np.asarray(self.color)[ii, jj, kk]
+            R = self.resolution  # color grid is [R,R,R,3], cells C3^3
+            cidx = (ii * R + jj) * R + kk
+            c = np.asarray(self.color.reshape(-1, 3)[cidx])[:count]
             if self.color_type == TSDFVolumeColorType.RGB8:
                 c = c / 255.0
             pcd.colors = c

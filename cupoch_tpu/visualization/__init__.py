@@ -14,7 +14,6 @@ from .render_option import (
     PointColorOption,
     RenderOption,
     ViewControl,
-    ViewTrajectory,
 )
 from .view_trajectory import (
     ViewParameters,
@@ -35,7 +34,6 @@ __all__ = [
     "set_global_color_map_option",
     "RenderOption",
     "ViewControl",
-    "ViewTrajectory",
     "PointColorOption",
     "MeshShadeOption",
     "MeshColorOption",

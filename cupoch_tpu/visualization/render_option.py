@@ -142,30 +142,3 @@ class ViewControl:
         vc.zoom = float(d.get("zoom", 0.7))
         vc.field_of_view = float(d.get("field_of_view", 60.0))
         return vc
-
-
-class ViewTrajectory:
-    """Sequence of camera parameters
-    (reference: view_trajectory.h; JSON format of file_json.cpp)."""
-
-    def __init__(self):
-        self.parameters: List[ViewControl] = []
-        self.is_loop = False
-        self.interval = 29
-
-    def to_dict(self) -> dict:
-        return {
-            "class_name": "ViewTrajectory",
-            "is_loop": bool(self.is_loop),
-            "interval": int(self.interval),
-            "parameters": [p.to_dict() for p in self.parameters],
-        }
-
-    @staticmethod
-    def from_dict(d: dict) -> "ViewTrajectory":
-        tr = ViewTrajectory()
-        tr.is_loop = bool(d.get("is_loop", False))
-        tr.interval = int(d.get("interval", 29))
-        tr.parameters = [ViewControl.from_dict(p)
-                         for p in d.get("parameters", [])]
-        return tr

@@ -142,11 +142,12 @@ class Visualizer:
                        s=opt.point_size * 0.2,
                        c=np.clip(cols_p, 0, 1) if cols_p is not None
                        else None)
-            if lines is not None and lines.shape[0] <= 20000:
-                for a, b in lines:
-                    seg = pts[[a, b]]
-                    ax.plot(seg[:, 0], seg[:, 1], seg[:, 2],
-                            linewidth=opt.line_width * 0.5)
+            if lines is not None and len(lines):
+                from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+                segs = pts[np.asarray(lines)]  # [E, 2, 3], one batch
+                ax.add_collection3d(Line3DCollection(
+                    segs, linewidths=opt.line_width * 0.5))
         ax.set_box_aspect((1, 1, 1))
         self._fig = fig
         return fig

@@ -66,20 +66,21 @@ def test_render_option_json_roundtrip(tmp_path):
 
 
 def test_view_trajectory_roundtrip(tmp_path):
-    from cupoch_tpu.io import (
-        read_ijson_convertible_from_json,
-        write_ijson_convertible_to_json,
+    from cupoch_tpu.visualization import (
+        ViewParameters,
+        read_view_trajectory,
+        write_view_trajectory,
     )
 
     tr = ViewTrajectory()
-    vc = ViewControl()
-    vc.set_zoom(0.42)
-    tr.parameters.append(vc)
+    vp = ViewParameters()
+    vp.zoom = 0.42
+    tr.view_status.append(vp)
     path = str(tmp_path / "traj.json")
-    write_ijson_convertible_to_json(path, tr)
-    back = read_ijson_convertible_from_json(path, ViewTrajectory)
-    assert len(back.parameters) == 1
-    assert back.parameters[0].zoom == pytest.approx(0.42)
+    assert write_view_trajectory(path, tr)
+    back = read_view_trajectory(path)
+    assert len(back.view_status) == 1
+    assert back.view_status[0].zoom == pytest.approx(0.42)
 
 
 # -- visualizer ----------------------------------------------------------
