@@ -61,7 +61,8 @@ def main():
     def run():
         grid = rungrid.make_rungrid(
             tgt_j, attrs, plan["origin"], plan["cell_size"],
-            plan["dims"], plan["cap"], mask=mask, est=est_code)
+            plan["dims"], plan["cap"], mask=mask, est=est_code,
+            kc=plan["kc"])
         T, idx, fit, rmse, it = fused_icp.icp_core_rungrid(
             src_j, mask, jnp.zeros_like(src_j), grid, T0,
             jnp.float32(0.05), plan["rebin_margin"],

@@ -196,7 +196,21 @@ def plan_rungrid(points: np.ndarray, radius: float,
     if cap > cap_limit:
         return None
     cap = max(8, _round_up(cap, 8))
-    kc = _round_up(27 * cap, WINDOW)
+    # lanes are sorted by distance at build, so KC can truncate to the
+    # 99.9th percentile of 27-block occupancy instead of 27*cap
+    blk = np.zeros(np.asarray(dims_core) + 2, np.int64)
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                blk[dx:dx + dims_core[0], dy:dy + dims_core[1],
+                    dz:dz + dims_core[2]] += counts
+    blk_occ = blk[blk > 0]
+    kc_full = _round_up(27 * cap, WINDOW)
+    if blk_occ.size:
+        kc = min(kc_full, max(WINDOW, _round_up(
+            int(np.percentile(blk_occ, 99.9)), WINDOW)))
+    else:
+        kc = kc_full
     # query-side cell capacity
     qcap = cap
     if query_points is not None:
@@ -312,10 +326,11 @@ def _pack_channel_list(est: int, coords, attrs_rolled, cell_size):
     return []
 
 
-@partial(jax.jit, static_argnames=("dims", "cap", "nch", "est"))
+@partial(jax.jit, static_argnames=("dims", "cap", "nch", "est", "kc"))
 def build_rungrid_arrays(points, attrs, origin, cell_size,
                          dims: Tuple[int, int, int], cap: int, nch: int,
-                         est: int = EST_NONE, mask=None):
+                         est: int = EST_NONE, mask=None,
+                         kc: Optional[int] = None):
     """Bin targets once, assemble the 27-run neighborhood with
     `jnp.roll` (no gathers, no lane sort), fold per-run center offsets
     into the coordinates, quantize the estimator's fetch channels to
@@ -367,23 +382,13 @@ def build_rungrid_arrays(points, attrs, origin, cell_size,
         ach[3] = ach[3] - (ach[0] * rcen[:, 0:1] + ach[1] * rcen[:, 1:2]
                            + ach[2] * rcen[:, 2:3])
 
-    kc = _round_up(27 * cap, WINDOW)
-    pad = kc - 27 * cap
-    if pad:
-        cx, cy, cz, negidx = (
-            jnp.pad(v, ((0, 0), (0, pad)), constant_values=cv)
-            for v, cv in ((cx, np.inf), (cy, np.inf), (cz, np.inf),
-                          (negidx, -float(INVALID_INDEX))))
-        ach = [jnp.pad(v, ((0, 0), (0, pad))) for v in ach]
-
     empty = ~jnp.isfinite(cx)
-    cn = jnp.where(empty, BIG, cx * cx + cy * cy + cz * cz)
-    dist = jnp.where(empty, jnp.float32(np.inf), jnp.sqrt(cn))
-    bounds = jnp.min(dist.reshape(C, kc // WINDOW, WINDOW), -1)
+    dist = jnp.where(empty, jnp.float32(np.inf),
+                     jnp.sqrt(cx * cx + cy * cy + cz * cz))
     zero = jnp.zeros_like(cx)
     cx, cy, cz = (jnp.where(empty, zero, v) for v in (cx, cy, cz))
 
-    # 16-bit-pair attribute packing (phase-B fetch operands)
+    # 16-bit-pair attribute packing (winner-fetch operands)
     fields = _pack_channel_list(est, (cx, cy, cz), ach, cell_size)
     packed = []
     lohi = []
@@ -404,13 +409,43 @@ def build_rungrid_arrays(points, attrs, origin, cell_size,
             jnp.asarray(lo1, jnp.float32),
             jnp.asarray((hi1 - lo1) / 65535.0, jnp.float32)]))
     P = len(packed)
-    attrp = jnp.stack(packed, 1) if P else jnp.zeros((C, 0, kc),
-                                                     jnp.int32)
     pack_lohi = jnp.stack(lohi, 0) if P else jnp.zeros((0, 2),
                                                        jnp.float32)
-
-    cand = jnp.stack([-2.0 * cx, -2.0 * cy, -2.0 * cz, cn], 1)
     negidx = jnp.where(empty, -float(INVALID_INDEX), negidx)
+
+    # LANE SORT by distance to the row's cell center: windows become
+    # rising-bound prefixes (the kernel's best-so-far gate prunes the
+    # tail) and far/empty lanes can be truncated to the planned kc.
+    # Payload-count barely affects XLA sort cost on TPU (measured).
+    ops = jax.lax.sort(
+        (dist, cx, cy, cz, negidx) + tuple(packed),
+        num_keys=1, is_stable=False, dimension=1)
+    dist, cx, cy, cz, negidx = ops[:5]
+    packed = list(ops[5:])
+
+    kc_full = _round_up(27 * cap, WINDOW)
+    kc = kc_full if kc is None else min(int(kc), kc_full)
+    if kc < dist.shape[1]:
+        dist = dist[:, :kc]
+        cx, cy, cz = cx[:, :kc], cy[:, :kc], cz[:, :kc]
+        negidx = negidx[:, :kc]
+        packed = [v[:, :kc] for v in packed]
+    elif kc > dist.shape[1]:
+        padn = kc - dist.shape[1]
+        dist = jnp.pad(dist, ((0, 0), (0, padn)),
+                       constant_values=np.inf)
+        cx, cy, cz = (jnp.pad(v, ((0, 0), (0, padn)))
+                      for v in (cx, cy, cz))
+        negidx = jnp.pad(negidx, ((0, 0), (0, padn)),
+                         constant_values=-float(INVALID_INDEX))
+        packed = [jnp.pad(v, ((0, 0), (0, padn))) for v in packed]
+
+    lane_empty = ~jnp.isfinite(dist)
+    cn = jnp.where(lane_empty, BIG, dist * dist)
+    bounds = jnp.min(dist.reshape(C, kc // WINDOW, WINDOW), -1)
+    attrp = jnp.stack(packed, 1) if P else jnp.zeros((C, 0, kc),
+                                                     jnp.int32)
+    cand = jnp.stack([-2.0 * cx, -2.0 * cy, -2.0 * cz, cn], 1)
 
     cp = padded_cells(dims)
     if cp > C:
@@ -429,12 +464,14 @@ def build_rungrid_arrays(points, attrs, origin, cell_size,
 
 
 def make_rungrid(points, attrs, origin, cell_size, dims, cap,
-                 mask=None, est: int = EST_NONE) -> RunGrid:
+                 mask=None, est: int = EST_NONE,
+                 kc: Optional[int] = None) -> RunGrid:
     nch = int(attrs.shape[1])
     cand, attrp, negidx, bounds, pack_lohi = build_rungrid_arrays(
         points, attrs, jnp.asarray(origin, jnp.float32),
         jnp.asarray(cell_size, jnp.float32), tuple(dims), int(cap),
-        nch, est=int(est), mask=mask)
+        nch, est=int(est), mask=mask,
+        kc=int(kc) if kc is not None else None)
     return RunGrid(cand, attrp, negidx, bounds, pack_lohi,
                    jnp.asarray(origin, jnp.float32),
                    jnp.asarray(cell_size, jnp.float32), tuple(dims),
@@ -573,7 +610,8 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
         n_out = 2 if corres else 1
         outs = out_and_scratch[:n_out]
         ml_ref = out_and_scratch[n_out]           # [T, qcap, WINDOW] f32
-        acc = out_and_scratch[n_out + 1:]         # winner-lane attrs
+        bt_ref = out_and_scratch[n_out + 1]       # best d^2 so far
+        acc = out_and_scratch[n_out + 2:]         # winner-lane attrs
         i = pl.program_id(0)
         R00, R01, R02 = p_ref[0, 0], p_ref[0, 1], p_ref[0, 2]
         R10, R11, R12 = p_ref[0, 3], p_ref[0, 4], p_ref[0, 5]
@@ -607,10 +645,13 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
 
         # single pass: per-lane running min across windows, tracking
         # the winning lane's attribute words elementwise alongside it
-        # (asel) — NO cross-lane reductions inside the window loop and
-        # no second pass; the winner is resolved by one lane-reduce
-        # set at the end
+        # — no cross-lane reductions except ONE per processed window
+        # to tighten the best-so-far bound.  Lanes are SORTED by
+        # distance-to-center at build, so window bounds rise and the
+        # tightened gate prunes the tail (near convergence typically
+        # only the first window runs).
         ml_ref[:] = jnp.full((T, qcap, WINDOW), BIG, jnp.float32)
+        bt_ref[:] = jnp.full((T, qcap, 1), BIG, jnp.float32)
         nsel = 1 if corres else P
         for ch in range(nsel):
             if acc[ch].dtype == jnp.int32:
@@ -618,8 +659,10 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
             else:
                 acc[ch][:] = jnp.zeros((T, qcap, WINDOW), jnp.float32)
         for k in range(NW):
+            bestd = jnp.sqrt(jnp.maximum(
+                jnp.minimum(bt_ref[:], r2), 0.0))
             need = jnp.any(valid & (
-                rr + dqc >= b_ref[:, k:k + 1][:, :, None]))
+                bestd + dqc >= b_ref[:, k:k + 1][:, :, None]))
 
             @pl.when(need)
             def _():
@@ -632,6 +675,8 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
                 prev = ml_ref[:]
                 upd = v < prev
                 ml_ref[:] = jnp.where(upd, v, prev)
+                bt_ref[:] = jnp.minimum(
+                    bt_ref[:], jnp.min(v, -1, keepdims=True) + qn)
                 if corres:
                     acc[0][:] = jnp.where(
                         upd, ni_ref[:, lo:lo + WINDOW][:, None, :],
@@ -707,9 +752,11 @@ def _pick_tile(cp: int, kc: int, P: int, qcap: int) -> int:
     return max(t, 8)
 
 
-@partial(jax.jit, static_argnames=("est", "corres", "use_pallas"))
+@partial(jax.jit, static_argnames=("est", "corres", "use_pallas",
+                                   "tile"))
 def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
-                corres: bool, use_pallas: Optional[bool] = None):
+                corres: bool, use_pallas: Optional[bool] = None,
+                tile: Optional[int] = None):
     """One fused correspondence (+GN reduction) pass.
 
     Returns (d2 [Cp,qcap], negidx [Cp,qcap]) when `corres`, else a
@@ -723,9 +770,10 @@ def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
     KC = grid.kc
     P = grid.attrp.shape[1]
     NW = grid.n_windows
-    T = _pick_tile(cp, KC, P, qcap)
+    T = tile if tile else _pick_tile(cp, KC, P, qcap)
     kern = _make_fused_kernel(est, P, T, qcap, KC, grid.dims, corres)
-    scratch = [pltpu.VMEM((T, qcap, WINDOW), jnp.float32)]
+    scratch = [pltpu.VMEM((T, qcap, WINDOW), jnp.float32),
+               pltpu.VMEM((T, qcap, 1), jnp.float32)]
     if corres:
         scratch += [pltpu.VMEM((T, qcap, WINDOW), jnp.float32)]
         out_shape = [jax.ShapeDtypeStruct((cp, qcap), jnp.float32)] * 2

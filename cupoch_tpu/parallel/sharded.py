@@ -108,7 +108,7 @@ def sharded_registration_icp(
     def run():
         grid = rungrid.make_rungrid(
             tgt_j, attrs, plan["origin"], plan["cell_size"],
-            plan["dims"], plan["cap"], est=est_code)
+            plan["dims"], plan["cap"], est=est_code, kc=plan["kc"])
         grid = jax.device_put(grid, rep)
         return fn(src_j, mask_j, nrm_j, grid,
                   jax.device_put(jnp.asarray(init), rep),

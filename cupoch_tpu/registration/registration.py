@@ -332,7 +332,7 @@ def registration_icp(
             grid = rungrid.make_rungrid(
                 tgt, attrs, plan["origin"], plan["cell_size"],
                 plan["dims"], plan["cap"], mask=tgt_mask,
-                est=est_code)
+                est=est_code, kc=plan["kc"])
             T, idx, fit, rmse, it = fused_icp.icp_core_rungrid(
                 src, src_mask, src_normals, grid, init_T,
                 jnp.float32(max_correspondence_distance),
