@@ -688,40 +688,45 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
                             acc[ch][:])
 
         mv = jnp.min(ml_ref[:], -1, keepdims=True)     # [T, qcap, 1]
-        d2 = mv + qn
-        ok = valid & (d2 <= r2)
         eq = ml_ref[:] <= mv                            # winner lane(s)
+        # EPILOGUE LAYOUT: everything from here on runs on squeezed
+        # [T, qcap] tensors (one relayout per input) — the [T, qcap, 1]
+        # form pads its minor dim to a full 128-lane tile, which made
+        # the ~30 Gauss-Newton term ops cost as much as scanning
+        # several extra candidate windows
+        d2 = mv[:, :, 0] + qn[:, :, 0]
+        ok = (qi_ref[:, :] >= 0) & (d2 <= r2)
 
         if corres:
-            fi = jnp.max(jnp.where(eq, acc[0][:], float(-np.inf)), -1,
-                         keepdims=True)
+            fi = jnp.max(jnp.where(eq, acc[0][:], float(-np.inf)),
+                         -1)[:, :]
             outs[0][:] = jnp.where(ok, jnp.maximum(d2, 0.0),
-                                   float(np.inf))[:, :, 0]
-            outs[1][:] = jnp.where(ok, fi,
-                                   float(-INVALID_INDEX))[:, :, 0]
+                                   float(np.inf))
+            outs[1][:] = jnp.where(ok, fi, float(-INVALID_INDEX))
             return
 
         fetched = []
         for ch in range(P):
             w = jnp.max(jnp.where(eq, acc[ch][:],
-                                  np.iinfo(np.int32).min), -1,
-                        keepdims=True)
+                                  np.iinfo(np.int32).min), -1)
             for high in (False, True):
                 f = 2 * ch + int(high)
                 fetched.append(_unpack16(w, p_ref[0, 18 + 2 * f],
                                          p_ref[0, 19 + 2 * f], high))
         d2c = jnp.where(ok, jnp.maximum(d2, 0.0), 0.0)
         if est == EST_SYM:
-            s0 = q_ref[:, 3, :][:, :, None]
-            s1 = q_ref[:, 4, :][:, :, None]
-            s2 = q_ref[:, 5, :][:, :, None]
+            s0 = q_ref[:, 3, :]
+            s1 = q_ref[:, 4, :]
+            s2 = q_ref[:, 5, :]
             src_n = (R00 * s0 + R01 * s1 + R02 * s2,
                      R10 * s0 + R11 * s1 + R12 * s2,
                      R20 * s0 + R21 * s1 + R22 * s2)
         else:
             src_n = None
-        terms = _gn_terms(est, fetched, tx, ty, tz, ex, ey, ez,
-                          ccx, ccy, ccz, src_n, ok, d2c)
+        terms = _gn_terms(est, fetched, tx[:, :, 0], ty[:, :, 0],
+                          tz[:, :, 0], ex[:, :, 0], ey[:, :, 0],
+                          ez[:, :, 0], ccx[:, :, 0], ccy[:, :, 0],
+                          ccz[:, :, 0], src_n, ok, d2c)
         # build the row with one-hot selects (Mosaic has no scatter)
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, N_SUMS), 1)
         row = jnp.zeros((1, N_SUMS), jnp.float32)

@@ -24,7 +24,7 @@ attrs, est_code = fused_icp.make_target_attrs(est, tgt_j, tn_j)
 plan = rungrid.plan_rungrid(tgt, 0.05, margin=0.125, query_points=src)
 print({k: v for k, v in plan.items() if k != "origin"}, flush=True)
 grid = rungrid.make_rungrid(tgt_j, attrs, plan["origin"], plan["cell_size"],
-                            plan["dims"], plan["cap"], mask=mask, est=est_code)
+                            plan["dims"], plan["cap"], mask=mask, est=est_code, kc=plan["kc"])
 _ = float(jnp.sum(grid.bounds[:1]))
 qsoa, qidx = rungrid.bin_queries(src_j, src_j, grid.origin, grid.cell_size,
                                  grid.dims, plan["qcap"], mask=mask)
@@ -49,7 +49,7 @@ timeit("corres pass", lambda g, q, qi, p: rungrid.fused_query(
     g, q, qi, p, rungrid.EST_NONE, True), grid, qsoa, qidx, params)
 timeit("grid build", lambda: rungrid.make_rungrid(
     tgt_j, attrs, plan["origin"], plan["cell_size"], plan["dims"],
-    plan["cap"], mask=mask, est=est_code), n=3)
+    plan["cap"], mask=mask, est=est_code, kc=plan["kc"]), n=3)
 timeit("bin_queries", lambda: rungrid.bin_queries(
     src_j, src_j, grid.origin, grid.cell_size, grid.dims, plan["qcap"],
     mask=mask), n=3)
@@ -57,13 +57,11 @@ timeit("bin_queries", lambda: rungrid.bin_queries(
 # full frame at two margins
 for margin in (0.125, 0.25):
     plan2 = rungrid.plan_rungrid(tgt, 0.05, margin=margin, query_points=src)
-    grid2 = rungrid.make_rungrid(tgt_j, attrs, plan2["origin"],
-                                 plan2["cell_size"], plan2["dims"],
-                                 plan2["cap"], mask=mask, est=est_code)
     def frame():
         g = rungrid.make_rungrid(tgt_j, attrs, plan2["origin"],
                                  plan2["cell_size"], plan2["dims"],
-                                 plan2["cap"], mask=mask, est=est_code)
+                                 plan2["cap"], mask=mask, est=est_code,
+                                 kc=plan2["kc"])
         return fused_icp.icp_core_rungrid(
             src_j, mask, jnp.zeros_like(src_j), g, T_id,
             jnp.float32(0.05), plan2["rebin_margin"],
