@@ -13,30 +13,29 @@ multiplies that by the channel count.
 This module removes them by changing the data structure AND the kernel
 dataflow:
 
-1. NO lane sort.  The 27-cell neighborhood of every cell is laid out as
-   27 fixed "runs" of `cap` lanes each, concatenated in ascending
-   center-to-center distance order; intra-run lanes follow a
-   2-bit-per-axis Morton code that rides the bin sort key for free.
-   Pruning is DATA-DEPENDENT: each 128-lane window records the minimum
-   candidate distance to the cell center (one min-reduce at build);
-   the kernel skips windows whose bound exceeds radius + d(query,
-   center).  Correctness never depends on lane order.
+1. SORTED LANES, CHEAP.  The 27-cell neighborhood of every cell is
+   assembled with `jnp.roll` as 27 runs of `cap` lanes, then the lanes
+   are sorted by distance to the row's cell center — a multi-operand
+   lane sort whose TPU cost is nearly payload-independent (measured;
+   unlike the gather-based permutation apply, which is ~15x slower).
+   Sorted lanes buy (a) KC truncation to the 99.9th percentile of
+   27-block occupancy and (b) RISING per-128-lane-window bounds, so a
+   best-so-far gate can skip tail windows wholesale.
 
 2. CELL-CENTERED coordinates.  Candidates are stored relative to the
    center of the cell whose neighborhood row they sit in (per-run
    offsets folded in at build), so the score v = |c|^2 - 2 q.c runs on
    ~cell-sized magnitudes (f32 error ~1e-8) and |c| doubles as the
-   pruning distance.
+   sort key and pruning distance.
 
-3. TWO-PHASE kernel with NO per-window lane reductions.  Phase A packs
-   the window id into the low mantissa bits of the (positive) score
-   and keeps a per-LANE elementwise running minimum across windows —
-   one vector `min` per window.  A single lane-reduce at the end
-   yields the winner's score AND window.  Phase B re-scores only the
-   winner window(s) and fetches the winner's attributes from 16-bit
-   pairs packed in int32 channels (one masked int-max per packed
-   channel).  Clearing the low mantissa bits costs < 4e-6 absolute on
-   d^2 (at the +1 offset scale) — far below the point-spacing scale.
+3. PREFIX + GATED TAIL kernel.  The nearest L1 lanes are scanned as
+   ONE unconditional dataflow block (Mosaic pipelines it; equal-op
+   per-window scratch update chains measured several times slower);
+   the winner's attributes are fetched from 16-bit pairs packed into
+   int32 channels with one masked max per channel.  Tail windows run
+   under `pl.when` only while some query's best + its distance to the
+   cell center reaches the window's bound — near convergence no tail
+   window runs.
 
 4. The ICP Gauss-Newton reduction happens INSIDE the kernel: the
    jacobian rows are formed from the unpacked winner attributes and
@@ -609,9 +608,8 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
              *out_and_scratch):
         n_out = 2 if corres else 1
         outs = out_and_scratch[:n_out]
-        ml_ref = out_and_scratch[n_out]           # [T, qcap, WINDOW] f32
-        bt_ref = out_and_scratch[n_out + 1]       # best d^2 so far
-        acc = out_and_scratch[n_out + 2:]         # winner-lane attrs
+        bt_ref = out_and_scratch[n_out]           # best score so far
+        acc = out_and_scratch[n_out + 1:]         # winner attrs
         i = pl.program_id(0)
         R00, R01, R02 = p_ref[0, 0], p_ref[0, 1], p_ref[0, 2]
         R10, R11, R12 = p_ref[0, 3], p_ref[0, 4], p_ref[0, 5]
@@ -643,72 +641,81 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
         valid = qi_ref[:, :][:, :, None] >= 0
         rr = jnp.sqrt(r2)
 
-        # single pass: per-lane running min across windows, tracking
-        # the winning lane's attribute words elementwise alongside it
-        # — no cross-lane reductions except ONE per processed window
-        # to tighten the best-so-far bound.  Lanes are SORTED by
-        # distance-to-center at build, so window bounds rise and the
-        # tightened gate prunes the tail (near convergence typically
-        # only the first window runs).
-        ml_ref[:] = jnp.full((T, qcap, WINDOW), BIG, jnp.float32)
-        bt_ref[:] = jnp.full((T, qcap, 1), BIG, jnp.float32)
+        # SORTED-PREFIX structure: the first L1 lanes (nearest
+        # candidates, lanes sorted by center distance at build) are
+        # scanned unconditionally as ONE dataflow block — Mosaic
+        # pipelines it fully; per-window scratch read-modify-write
+        # chains measured ~10x slower for the same op count.  Tail
+        # windows are gated by the prefix best: a window runs only if
+        # some query could still improve (rising bounds make this gate
+        # effective; near convergence no tail window runs).
         nsel = 1 if corres else P
+
+        def score(lo, width):
+            cxk = c_ref[:, 0, lo:lo + width][:, None, :]
+            cyk = c_ref[:, 1, lo:lo + width][:, None, :]
+            czk = c_ref[:, 2, lo:lo + width][:, None, :]
+            cnk = c_ref[:, 3, lo:lo + width][:, None, :]
+            return cnk + ex * cxk + ey * cyk + ez * czk
+
+        def fetch(v, m, lo, width):
+            eqw = v <= m
+            out = []
+            for ch in range(nsel):
+                if corres:
+                    src = ni_ref[:, lo:lo + width][:, None, :]
+                    fill = float(-np.inf)
+                else:
+                    src = a_ref[:, ch, lo:lo + width][:, None, :]
+                    fill = np.iinfo(np.int32).min
+                out.append(jnp.max(jnp.where(eqw, src, fill), -1,
+                                   keepdims=True))
+            return out
+
+        L1 = min(2 * WINDOW, KC)
+        v1 = score(0, L1)
+        m1 = jnp.min(v1, -1, keepdims=True)
+        f1 = fetch(v1, m1, 0, L1)
+        bt_ref[:] = m1
         for ch in range(nsel):
-            if acc[ch].dtype == jnp.int32:
-                acc[ch][:] = jnp.zeros((T, qcap, WINDOW), jnp.int32)
-            else:
-                acc[ch][:] = jnp.zeros((T, qcap, WINDOW), jnp.float32)
-        for k in range(NW):
+            acc[ch][:] = f1[ch]
+
+        for k in range(L1 // WINDOW, NW):
+            mb = bt_ref[:]
             bestd = jnp.sqrt(jnp.maximum(
-                jnp.minimum(bt_ref[:], r2), 0.0))
+                jnp.minimum(mb + qn, r2), 0.0))
             need = jnp.any(valid & (
                 bestd + dqc >= b_ref[:, k:k + 1][:, :, None]))
 
             @pl.when(need)
             def _():
                 lo = k * WINDOW
-                cxk = c_ref[:, 0, lo:lo + WINDOW][:, None, :]
-                cyk = c_ref[:, 1, lo:lo + WINDOW][:, None, :]
-                czk = c_ref[:, 2, lo:lo + WINDOW][:, None, :]
-                cnk = c_ref[:, 3, lo:lo + WINDOW][:, None, :]
-                v = cnk + ex * cxk + ey * cyk + ez * czk
-                prev = ml_ref[:]
-                upd = v < prev
-                ml_ref[:] = jnp.where(upd, v, prev)
-                bt_ref[:] = jnp.minimum(
-                    bt_ref[:], jnp.min(v, -1, keepdims=True) + qn)
-                if corres:
-                    acc[0][:] = jnp.where(
-                        upd, ni_ref[:, lo:lo + WINDOW][:, None, :],
-                        acc[0][:])
-                else:
-                    for ch in range(P):
-                        acc[ch][:] = jnp.where(
-                            upd, a_ref[:, ch, lo:lo + WINDOW][:, None, :],
-                            acc[ch][:])
+                v = score(lo, WINDOW)
+                m = jnp.min(v, -1, keepdims=True)
+                better = m < bt_ref[:]
+                f = fetch(v, m, lo, WINDOW)
+                for ch in range(nsel):
+                    acc[ch][:] = jnp.where(better, f[ch], acc[ch][:])
+                bt_ref[:] = jnp.where(better, m, bt_ref[:])
 
-        mv = jnp.min(ml_ref[:], -1, keepdims=True)     # [T, qcap, 1]
-        eq = ml_ref[:] <= mv                            # winner lane(s)
         # EPILOGUE LAYOUT: everything from here on runs on squeezed
         # [T, qcap] tensors (one relayout per input) — the [T, qcap, 1]
         # form pads its minor dim to a full 128-lane tile, which made
         # the ~30 Gauss-Newton term ops cost as much as scanning
         # several extra candidate windows
-        d2 = mv[:, :, 0] + qn[:, :, 0]
+        d2 = bt_ref[:][:, :, 0] + qn[:, :, 0]
         ok = (qi_ref[:, :] >= 0) & (d2 <= r2)
 
         if corres:
-            fi = jnp.max(jnp.where(eq, acc[0][:], float(-np.inf)),
-                         -1)[:, :]
             outs[0][:] = jnp.where(ok, jnp.maximum(d2, 0.0),
                                    float(np.inf))
-            outs[1][:] = jnp.where(ok, fi, float(-INVALID_INDEX))
+            outs[1][:] = jnp.where(ok, acc[0][:][:, :, 0],
+                                   float(-INVALID_INDEX))
             return
 
         fetched = []
         for ch in range(P):
-            w = jnp.max(jnp.where(eq, acc[ch][:],
-                                  np.iinfo(np.int32).min), -1)
+            w = acc[ch][:][:, :, 0]
             for high in (False, True):
                 f = 2 * ch + int(high)
                 fetched.append(_unpack16(w, p_ref[0, 18 + 2 * f],
@@ -748,7 +755,7 @@ def _pick_tile(cp: int, kc: int, P: int, qcap: int) -> int:
     per_cell = (
         2 * (4 + max(P, 1) + 1) * kc * 4        # cand+attr+bounds blocks
         + 2 * 8 * qcap * 4                       # qsoa + qidx blocks
-        + 3 * qcap * WINDOW * 4                  # ml scratch + score
+        + 3 * qcap * 2 * WINDOW * 4              # prefix score + eq
         + 12 * qcap * WINDOW * 4                 # padded [T,qcap,1] regs
     )
     t = max(8, min(64, (10 << 20) // per_cell // 8 * 8))
@@ -777,15 +784,14 @@ def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
     NW = grid.n_windows
     T = tile if tile else _pick_tile(cp, KC, P, qcap)
     kern = _make_fused_kernel(est, P, T, qcap, KC, grid.dims, corres)
-    scratch = [pltpu.VMEM((T, qcap, WINDOW), jnp.float32),
-               pltpu.VMEM((T, qcap, 1), jnp.float32)]
+    scratch = [pltpu.VMEM((T, qcap, 1), jnp.float32)]
     if corres:
-        scratch += [pltpu.VMEM((T, qcap, WINDOW), jnp.float32)]
+        scratch += [pltpu.VMEM((T, qcap, 1), jnp.float32)]
         out_shape = [jax.ShapeDtypeStruct((cp, qcap), jnp.float32)] * 2
         out_specs = [pl.BlockSpec((T, qcap), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)] * 2
     else:
-        scratch += [pltpu.VMEM((T, qcap, WINDOW), jnp.int32)
+        scratch += [pltpu.VMEM((T, qcap, 1), jnp.int32)
                     for _ in range(P)]
         out_shape = [jax.ShapeDtypeStruct((cp // T, N_SUMS),
                                           jnp.float32)]
