@@ -84,6 +84,15 @@ def main():
     dt = min(times)
     frames_per_s = 1.0 / dt
 
+    # phase breakdown for the report: grid build alone vs full frame
+    t0 = time.perf_counter()
+    g = rungrid.make_rungrid(
+        tgt_j, attrs, plan["origin"], plan["cell_size"],
+        plan["dims"], plan["cap"], mask=mask, est=est_code,
+        kc=plan["kc"])
+    _ = float(jnp.sum(g.bounds[:1]))
+    build_s = time.perf_counter() - t0
+
     baseline_fps = 2.5  # reconstructed GTX1070 full-ICP rate @1M pts
     print(json.dumps({
         "metric": "icp_pt2plane_1M_frames_per_s",
@@ -97,6 +106,9 @@ def main():
             "fitness": float(fit),
             "rmse": float(rmse),
             "secs_per_frame": round(dt, 4),
+            "grid_build_s": round(build_s, 4),
+            "icp_loop_s": round(dt - build_s, 4),
+            "kc": plan["kc"],
             "device": str(jax.devices()[0]),
         },
     }))
