@@ -680,20 +680,24 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
         for ch in range(nsel):
             acc[ch][:] = f1[ch]
 
-        for k in range(L1 // WINDOW, NW):
-            mb = bt_ref[:]
+        # ONE gate for the whole tail: each scalar `any` forces a
+        # vector->scalar sync, and per-window gates were measured to
+        # dominate the kernel regardless of how little they let run.
+        # Lanes are sorted, so the first tail window's bound is the
+        # minimum over the entire tail.
+        if KC > L1:
             bestd = jnp.sqrt(jnp.maximum(
-                jnp.minimum(mb + qn, r2), 0.0))
+                jnp.minimum(bt_ref[:] + qn, r2), 0.0))
+            kt = L1 // WINDOW
             need = jnp.any(valid & (
-                bestd + dqc >= b_ref[:, k:k + 1][:, :, None]))
+                bestd + dqc >= b_ref[:, kt:kt + 1][:, :, None]))
 
             @pl.when(need)
             def _():
-                lo = k * WINDOW
-                v = score(lo, WINDOW)
+                v = score(L1, KC - L1)
                 m = jnp.min(v, -1, keepdims=True)
                 better = m < bt_ref[:]
-                f = fetch(v, m, lo, WINDOW)
+                f = fetch(v, m, L1, KC - L1)
                 for ch in range(nsel):
                     acc[ch][:] = jnp.where(better, f[ch], acc[ch][:])
                 bt_ref[:] = jnp.where(better, m, bt_ref[:])
@@ -812,7 +816,9 @@ def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, max(P, 1), KC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, KC), lambda i: (i, 0),
+            # negidx is only fetched in corres mode; the GN path gets
+            # a tiny dummy so its DMA cost disappears
+            pl.BlockSpec((T, KC if corres else 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, NW), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -822,7 +828,8 @@ def fused_query(grid: RunGrid, qsoa, qidx, params, est: int,
         scratch_shapes=scratch,
         interpret=interpret,
     )(params.reshape(1, NPARAMS), qsoa, qidx, grid.cand, attrp,
-      grid.negidx, grid.bounds)
+      grid.negidx if corres else jnp.zeros((cp, 8), jnp.float32),
+      grid.bounds)
     return tuple(outs) if corres else outs[0]
 
 
