@@ -619,27 +619,27 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
         ccx, ccy, ccz = _tile_centers(
             i, T, dims, p_ref[0, 13], p_ref[0, 14], p_ref[0, 15],
             p_ref[0, 16])
-        # LAYOUT RULE: every per-query quantity is [T, qcap, 1]
-        # (queries in SUBLANES like the [T, qcap, WINDOW] score) so
-        # all broadcasts are native sublane/lane replication
-        ccx = ccx[:, :, None]
-        ccy = ccy[:, :, None]
-        ccz = ccz[:, :, None]
-        qx = q_ref[:, 0, :][:, :, None]
-        qy = q_ref[:, 1, :][:, :, None]
-        qz = q_ref[:, 2, :][:, :, None]
+        # per-query scalars live on [T, qcap] (qcap lanes) — only the
+        # three centered coordinates are expanded to the [T, qcap, 1]
+        # sublane layout the [T, qcap, lanes] score broadcasts need;
+        # every extra expanded tensor pads its minor dim to a full
+        # 128-lane tile in both VMEM and op cost
+        qx = q_ref[:, 0, :]
+        qy = q_ref[:, 1, :]
+        qz = q_ref[:, 2, :]
         tx = R00 * qx + R01 * qy + R02 * qz + t0
         ty = R10 * qx + R11 * qy + R12 * qz + t1
         tz = R20 * qx + R21 * qy + R22 * qz + t2
-        ex = tx - ccx
-        ey = ty - ccy
-        ez = tz - ccz
-        qn = ex * ex + ey * ey + ez * ez
+        ex2 = tx - ccx
+        ey2 = ty - ccy
+        ez2 = tz - ccz
+        qn = ex2 * ex2 + ey2 * ey2 + ez2 * ez2
         dqc = jnp.sqrt(qn)
-        # expand the 32-bit value BEFORE comparing: Mosaic cannot
-        # insert a minor dim on i1 vectors
-        valid = qi_ref[:, :][:, :, None] >= 0
+        valid = qi_ref[:, :] >= 0
         rr = jnp.sqrt(r2)
+        ex = ex2[:, :, None]
+        ey = ey2[:, :, None]
+        ez = ez2[:, :, None]
 
         # SORTED-PREFIX structure: the first L1 lanes (nearest
         # candidates, lanes sorted by center distance at build) are
@@ -687,10 +687,9 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
         # minimum over the entire tail.
         if KC > L1:
             bestd = jnp.sqrt(jnp.maximum(
-                jnp.minimum(bt_ref[:] + qn, r2), 0.0))
+                jnp.minimum(bt_ref[:][:, :, 0] + qn, r2), 0.0))
             kt = L1 // WINDOW
-            need = jnp.any(valid & (
-                bestd + dqc >= b_ref[:, kt:kt + 1][:, :, None]))
+            need = jnp.any(valid & (bestd + dqc >= b_ref[:, kt:kt + 1]))
 
             @pl.when(need)
             def _():
@@ -707,8 +706,8 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
         # form pads its minor dim to a full 128-lane tile, which made
         # the ~30 Gauss-Newton term ops cost as much as scanning
         # several extra candidate windows
-        d2 = bt_ref[:][:, :, 0] + qn[:, :, 0]
-        ok = (qi_ref[:, :] >= 0) & (d2 <= r2)
+        d2 = bt_ref[:][:, :, 0] + qn
+        ok = valid & (d2 <= r2)
 
         if corres:
             outs[0][:] = jnp.where(ok, jnp.maximum(d2, 0.0),
@@ -734,10 +733,8 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
                      R20 * s0 + R21 * s1 + R22 * s2)
         else:
             src_n = None
-        terms = _gn_terms(est, fetched, tx[:, :, 0], ty[:, :, 0],
-                          tz[:, :, 0], ex[:, :, 0], ey[:, :, 0],
-                          ez[:, :, 0], ccx[:, :, 0], ccy[:, :, 0],
-                          ccz[:, :, 0], src_n, ok, d2c)
+        terms = _gn_terms(est, fetched, tx, ty, tz, ex2, ey2, ez2,
+                          ccx, ccy, ccz, src_n, ok, d2c)
         # build the row with one-hot selects (Mosaic has no scatter)
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, N_SUMS), 1)
         row = jnp.zeros((1, N_SUMS), jnp.float32)
