@@ -145,7 +145,7 @@ def run_benchmarks(pcd_path: Optional[str] = None,
         from ..registration import (
             FastGlobalRegistrationOption,
             compute_fpfh_feature,
-            registration_fast_based_on_feature_matching,
+            fast_global_registration,
         )
         from ..knn import KDTreeSearchParamHybrid
 
@@ -155,7 +155,7 @@ def run_benchmarks(pcd_path: Optional[str] = None,
         t.estimate_normals(KDTreeSearchParamHybrid(0.06, 30))
         fs = compute_fpfh_feature(s, KDTreeSearchParamHybrid(0.1, 64))
         ft = compute_fpfh_feature(t, KDTreeSearchParamHybrid(0.1, 64))
-        res = registration_fast_based_on_feature_matching(
+        res = fast_global_registration(
             s, t, fs, ft, FastGlobalRegistrationOption())
         return res.transformation
 
