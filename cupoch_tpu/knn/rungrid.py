@@ -672,7 +672,7 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
                                    keepdims=True))
             return out
 
-        L1 = min(2 * WINDOW, KC)
+        L1 = min(WINDOW, KC)
         v1 = score(0, L1)
         m1 = jnp.min(v1, -1, keepdims=True)
         f1 = fetch(v1, m1, 0, L1)
