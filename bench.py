@@ -85,13 +85,17 @@ def main():
     frames_per_s = 1.0 / dt
 
     # phase breakdown for the report: grid build alone vs full frame
-    t0 = time.perf_counter()
-    g = rungrid.make_rungrid(
-        tgt_j, attrs, plan["origin"], plan["cell_size"],
-        plan["dims"], plan["cap"], mask=mask, est=est_code,
-        kc=plan["kc"])
-    _ = float(jnp.sum(g.bounds[:1]))
-    build_s = time.perf_counter() - t0
+    # (min of 2 — single-shot timings through the device tunnel are
+    # noisy)
+    build_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        g = rungrid.make_rungrid(
+            tgt_j, attrs, plan["origin"], plan["cell_size"],
+            plan["dims"], plan["cap"], mask=mask, est=est_code,
+            kc=plan["kc"])
+        _ = float(jnp.sum(g.bounds[:1]))
+        build_s = min(build_s, time.perf_counter() - t0)
 
     baseline_fps = 2.5  # reconstructed GTX1070 full-ICP rate @1M pts
     print(json.dumps({

@@ -672,7 +672,7 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
                                    keepdims=True))
             return out
 
-        L1 = min(WINDOW, KC)
+        L1 = min(2 * WINDOW, KC)
         v1 = score(0, L1)
         m1 = jnp.min(v1, -1, keepdims=True)
         f1 = fetch(v1, m1, 0, L1)
@@ -680,23 +680,27 @@ def _make_fused_kernel(est: int, P: int, T: int, qcap: int, KC: int,
         for ch in range(nsel):
             acc[ch][:] = f1[ch]
 
-        # ONE gate for the whole tail: each scalar `any` forces a
-        # vector->scalar sync, and per-window gates were measured to
-        # dominate the kernel regardless of how little they let run.
-        # Lanes are sorted, so the first tail window's bound is the
-        # minimum over the entire tail.
+        # the tail runs as at most two gated blocks: scalar `any`
+        # gates cost a vector->scalar sync each, so gate granularity
+        # is coarse; lanes are sorted, so each block's first-window
+        # bound is the minimum over that whole block
+        tail_splits = []
         if KC > L1:
+            mid = L1 + _round_up((KC - L1) // 2, WINDOW)
+            mid = min(max(mid, L1 + WINDOW), KC)
+            tail_splits = [(L1, mid)] + ([(mid, KC)] if mid < KC else [])
+        for (lo_t, hi_t) in tail_splits:
             bestd = jnp.sqrt(jnp.maximum(
                 jnp.minimum(bt_ref[:][:, :, 0] + qn, r2), 0.0))
-            kt = L1 // WINDOW
+            kt = lo_t // WINDOW
             need = jnp.any(valid & (bestd + dqc >= b_ref[:, kt:kt + 1]))
 
             @pl.when(need)
-            def _():
-                v = score(L1, KC - L1)
+            def _(lo_t=lo_t, hi_t=hi_t):
+                v = score(lo_t, hi_t - lo_t)
                 m = jnp.min(v, -1, keepdims=True)
                 better = m < bt_ref[:]
-                f = fetch(v, m, L1, KC - L1)
+                f = fetch(v, m, lo_t, hi_t - lo_t)
                 for ch in range(nsel):
                     acc[ch][:] = jnp.where(better, f[ch], acc[ch][:])
                 bt_ref[:] = jnp.where(better, m, bt_ref[:])
