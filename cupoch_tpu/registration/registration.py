@@ -10,9 +10,8 @@ entirely on device — zero host round-trips until the loop exits.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
