@@ -20,8 +20,8 @@ from typing import List
 import numpy as np
 
 
-def run_scaling(points_per_device: int = 131072, reps: int = 3,
-                max_iteration: int = 10) -> List[dict]:
+def run_scaling(points_per_device: int = 131072, reps: int = 2,
+                max_iteration: int = 8) -> List[dict]:
     import jax
 
     from ..parallel import make_point_mesh, sharded_registration_icp
@@ -78,8 +78,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--points", type=int, default=131072,
                     help="points per device (weak scaling)")
+    ap.add_argument("--iters", type=int, default=8,
+                    help="ICP iterations per measurement")
     args = ap.parse_args(argv)
-    for r in run_scaling(args.points):
+    for r in run_scaling(args.points, max_iteration=args.iters):
         print(json.dumps(r))
 
 
