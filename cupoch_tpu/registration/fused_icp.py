@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..knn import rungrid
+from ..knn import poolgrid, rungrid
 from ..utility import eigen as ueigen
 from ..utility.transforms import make_transform, transform_points
 from .estimation import TransformationEstimationType
@@ -223,6 +223,117 @@ def icp_core_rungrid(
 
     # scatter correspondence indices back to source order
     idx_bin = jnp.where(ok, -nidx, float(rungrid.INVALID_INDEX)) \
+        .astype(jnp.int32)
+    flat_q = qidx.reshape(-1)
+    okq = flat_q >= 0
+    slot = jnp.where(okq, flat_q, Np)
+    idx_src = jnp.full((Np + 1,), rungrid.INVALID_INDEX, jnp.int32) \
+        .at[slot].set(jnp.where(okq, idx_bin.reshape(-1),
+                                rungrid.INVALID_INDEX),
+                      mode="drop")[:Np]
+    return T, idx_src, fit, rmse, it
+
+
+@partial(jax.jit, static_argnames=(
+    "qp", "est_type", "max_iteration", "use_pallas", "axis_name"))
+def icp_core_pool(
+    src: jax.Array,            # [Np, 3] padded source points
+    src_mask: jax.Array,       # [Np]
+    src_normals: jax.Array,    # [Np, 3] (used by symmetric only)
+    grid: poolgrid.PoolGrid,
+    init_T: jax.Array,
+    max_dist: jax.Array,
+    rebin_margin: jax.Array,
+    relative_fitness: jax.Array,
+    relative_rmse: jax.Array,
+    qp: int,
+    est_type: TransformationEstimationType,
+    max_iteration: int,
+    use_pallas: Optional[bool] = None,
+    axis_name: Optional[str] = None,
+):
+    """Pooled-grid fused ICP loop (knn/poolgrid.py): the round-4 fast
+    path. Same contract as `icp_core_rungrid`; per iteration one
+    Pallas pass does MXU-scored correspondence + in-kernel GN
+    reduction over tile-pooled queries. Returns
+    (T, idx [Np] int32, fitness, inlier_rmse, iterations)."""
+    Np = src.shape[0]
+    est = _est_code(est_type)
+    n_src = jnp.sum(src_mask).astype(jnp.float32)
+    if axis_name is not None:
+        n_src = jax.lax.psum(n_src, axis_name)
+    n_src = jnp.maximum(n_src, 1.0)
+    need_src_normals = (
+        est_type == TransformationEstimationType.SymmetricMethod)
+    corners = _aabb_corners(src, src_mask, axis_name)
+    r2 = jnp.asarray(max_dist, jnp.float32) ** 2
+
+    def rebin(T):
+        pos = transform_points(T, src)
+        qpool, qidx, _ = poolgrid.bin_queries_pool(
+            src, pos, grid.origin, grid.cell_size, grid.dims, qp,
+            grid.tile, normals=src_normals,
+            with_normals=need_src_normals, mask=src_mask)
+        return qpool, qidx
+
+    def gn_pass(T, qpool):
+        params = poolgrid.make_params(T, r2, grid)
+        partial_sums = poolgrid.fused_pool_query(
+            grid, qpool, params, est, False, use_pallas=use_pallas)
+        sums = jnp.sum(partial_sums, 0)
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
+        return sums
+
+    qpool0, qidx0 = rebin(init_T)
+
+    def cond(state):
+        it, done, *_ = state
+        return (it < max_iteration) & (~done)
+
+    def body(state):
+        it, done, T, T_bin, qpool, qidx, fit, rmse = state
+        disp = _displacement_bound(T, T_bin, corners)
+        qpool, qidx, T_bin = jax.lax.cond(
+            disp > rebin_margin,
+            lambda _: rebin(T) + (T,),
+            lambda _: (qpool, qidx, T_bin), None)
+        sums = gn_pass(T, qpool)
+        fit2, rmse2 = _stats_from_sums(est_type, sums, n_src)
+        converged = (jnp.abs(fit - fit2) < relative_fitness) & (
+            jnp.abs(rmse - rmse2) < relative_rmse) & (it > 0)
+        U = _update_from_sums(est_type, sums)
+        T_new = jnp.where(converged, T, U @ T)
+        return (it + 1, converged, T_new, T_bin, qpool, qidx,
+                fit2, rmse2)
+
+    state0 = (jnp.int32(0), jnp.bool_(False),
+              init_T.astype(jnp.float32), init_T.astype(jnp.float32),
+              qpool0, qidx0, jnp.float32(-1.0), jnp.float32(-1.0))
+    it, _, T, T_bin, qpool, qidx, _, _ = jax.lax.while_loop(
+        cond, body, state0)
+
+    # final evaluation at the returned transform (matches the
+    # reference: result metrics always correspond to the returned T)
+    disp = _displacement_bound(T, T_bin, corners)
+    qpool, qidx = jax.lax.cond(
+        disp > rebin_margin, lambda _: rebin(T),
+        lambda _: (qpool, qidx), None)
+    params = poolgrid.make_params(T, r2, grid)
+    d2, idxf = poolgrid.fused_pool_query(grid, qpool, params, est,
+                                         True, use_pallas=use_pallas)
+    ok = jnp.isfinite(d2) & (qidx >= 0)
+    w = ok.astype(jnp.float32)
+    cnt = jnp.sum(w)
+    err = jnp.sum(jnp.where(ok, d2, 0.0))
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        err = jax.lax.psum(err, axis_name)
+    fit = cnt / n_src
+    rmse = jnp.sqrt(err / jnp.maximum(cnt, 1.0))
+    rmse = jnp.where(cnt > 0, rmse, 0.0)
+
+    idx_bin = jnp.where(ok, idxf, float(rungrid.INVALID_INDEX)) \
         .astype(jnp.int32)
     flat_q = qidx.reshape(-1)
     okq = flat_q >= 0

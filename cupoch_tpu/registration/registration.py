@@ -309,21 +309,41 @@ def registration_icp(
     src, src_mask, src_normals = _prep(source, True)
     tgt, tgt_mask, tgt_normals = _prep(target, need_tgt_normals)
 
-    # fast path: fully-fused run-grid loop (pt2pt / pt2plane /
-    # symmetric); each iteration is one Pallas pass that does the
-    # correspondence AND the Gauss-Newton reduction (fused_icp.py)
+    # fast path: fully-fused grid loop (pt2pt / pt2plane / symmetric);
+    # each iteration is one Pallas pass that does the correspondence
+    # AND the Gauss-Newton reduction. The pooled MXU grid
+    # (knn/poolgrid.py) is preferred; the sorted-lane run-grid
+    # (knn/rungrid.py) is the fallback when its plan is rejected.
     if est_type in (TransformationEstimationType.PointToPoint,
                     TransformationEstimationType.PointToPlane,
                     TransformationEstimationType.SymmetricMethod) \
             and target.points.shape[0] > _GRID_THRESHOLD:
         from . import fused_icp
-        from ..knn import rungrid
+        from ..knn import poolgrid, rungrid
 
         src_np = np.asarray(source.points)
         initn = np.asarray(init_T)
         src_np_t = src_np @ initn[:3, :3].T + initn[:3, 3]
         attrs, est_code = fused_icp.make_target_attrs(
             est_type, tgt, tgt_normals)
+        pplan = poolgrid.plan_poolgrid(
+            np.asarray(target.points), max_correspondence_distance,
+            query_points=src_np_t, est=est_code)
+        if pplan is not None:
+            grid = poolgrid.make_poolgrid(
+                tgt, attrs, pplan["origin"], pplan["cell_size"],
+                pplan["dims"], pplan["cap"], pplan["kc"],
+                est=est_code, tile=pplan["tile"], mask=tgt_mask)
+            T, idx, fit, rmse, it = fused_icp.icp_core_pool(
+                src, src_mask, src_normals, grid, init_T,
+                jnp.float32(max_correspondence_distance),
+                pplan["rebin_margin"],
+                jnp.float32(criteria.relative_fitness),
+                jnp.float32(criteria.relative_rmse),
+                pplan["qp"], est_type, criteria.max_iteration)
+            console.log_debug("pooled fused ICP finished after %s "
+                              "iterations", int(it))
+            return _make_result(T, idx, fit, rmse, len(source))
         plan = rungrid.plan_rungrid(
             np.asarray(target.points), max_correspondence_distance,
             query_points=src_np_t, nch=attrs.shape[1])
