@@ -46,6 +46,7 @@ class CollisionResult:
         self.collision_index_pairs = (
             np.zeros((0, 2), np.int32) if index_pairs is None
             else np.asarray(index_pairs, np.int32))
+        self.n_dropped = 0  # bucket broad-phase capacity overflows
 
     def is_collided(self) -> bool:
         return len(self.collision_index_pairs) > 0
@@ -69,6 +70,8 @@ class CollisionResult:
 # ---------------------------------------------------------------------------
 
 _TILE = 1024
+_DENSE_LIMIT = 16_000_000   # N*M above this -> bucket broad phase
+_MAX_PAIRS_PER_QUERY = 32
 
 
 @partial(jax.jit, static_argnames=())
@@ -81,6 +84,153 @@ def _aabb_overlap_pairs(lo1, hi1, lo2, hi2, margin):
 
 def _pairs_from_matrix(mat: jax.Array) -> np.ndarray:
     return np.argwhere(np.asarray(mat)).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# bucket broad phase (reference: the LBVH over target AABBs,
+# collision.cu:21-22 + third_party/lbvh; pointer-chasing traversal is
+# hostile to the TPU, so the same O(N log M) -> O(N) effect comes from
+# a 27-run uniform bucket grid — the machinery the ICP grids use)
+# ---------------------------------------------------------------------------
+
+def _bucket_overlap_pairs(lo1, hi1, lo2, hi2, margin: float,
+                          max_pairs: int = _MAX_PAIRS_PER_QUERY):
+    """Scalable AABB-set overlap: bin set-2 boxes by center into a
+    uniform grid whose cell exceeds (ext1+ext2)/2+margin, so overlap
+    candidates lie in the 27-neighborhood of each set-1 box's cell.
+    Returns (pairs [K, 2] int32, n_dropped) — up to `max_pairs` hits
+    per set-1 box (uniform-voxel workloads cap at 27)."""
+    from ..knn.poolgrid import _bin_to_slots
+
+    lo1n = np.asarray(lo1)
+    hi1n = np.asarray(hi1)
+    lo2n = np.asarray(lo2)
+    hi2n = np.asarray(hi2)
+    c1 = (lo1n + hi1n) * 0.5
+    c2 = (lo2n + hi2n) * 0.5
+    e1 = float((hi1n - lo1n).max()) if len(lo1n) else 0.0
+    e2 = float((hi2n - lo2n).max()) if len(lo2n) else 0.0
+    h = (e1 + e2) * 0.5 + float(margin) + 1e-6
+    gmin = np.minimum(c1.min(0), c2.min(0)) - 2 * h
+    gmax = np.maximum(c1.max(0), c2.max(0)) + 2 * h
+    dims = np.maximum(np.ceil((gmax - gmin) / h).astype(int) + 1, 1)
+    C = int(np.prod(dims))
+    if C > 4_000_000:
+        return None  # degenerate spread; caller falls back to dense
+
+    def lin_cells(c):
+        ci = np.floor((c - gmin) / h).astype(np.int64)
+        return (ci[:, 0] * dims[1] + ci[:, 1]) * dims[2] + ci[:, 2]
+
+    l2 = lin_cells(c2)
+    counts = np.bincount(l2, minlength=C)
+    cap = max(8, int(-(-int(np.percentile(counts[counts > 0], 99.9))
+                       // 8) * 8)) if counts.any() else 8
+    key2 = jnp.asarray(l2 * 64, jnp.int32)
+    ch2 = [jnp.asarray(lo2n[:, i], jnp.float32) for i in range(3)] + \
+        [jnp.asarray(hi2n[:, i], jnp.float32) for i in range(3)]
+    binned2, index2, drop2 = _bin_to_slots(
+        key2, C, cap, ch2, [jnp.float32(np.inf)] * 3
+        + [jnp.float32(-np.inf)] * 3)
+
+    l1 = lin_cells(c1)
+    q_counts = np.bincount(l1, minlength=C)
+    qcap = max(8, int(-(-int(np.percentile(
+        q_counts[q_counts > 0], 99.9)) // 8) * 8)) \
+        if q_counts.any() else 8
+    key1 = jnp.asarray(l1 * 64, jnp.int32)
+    ch1 = [jnp.asarray(lo1n[:, i], jnp.float32) for i in range(3)] + \
+        [jnp.asarray(hi1n[:, i], jnp.float32) for i in range(3)]
+    binned1, index1, drop1 = _bin_to_slots(
+        key1, C, qcap, ch1, [jnp.float32(np.inf)] * 3
+        + [jnp.float32(-np.inf)] * 3)
+
+    dims_t = tuple(int(d) for d in dims)
+    pairs_i1, pairs_i2 = _bucket_pairs_device(
+        tuple(binned2), index2, tuple(binned1), index1,
+        jnp.float32(margin), dims_t, int(cap), int(qcap),
+        int(max_pairs))
+    p1 = np.asarray(pairs_i1).reshape(-1)
+    p2 = np.asarray(pairs_i2).reshape(-1)
+    okp = (p1 >= 0) & (p2 >= 0)
+    pairs = np.stack([p1[okp], p2[okp]], -1).astype(np.int32)
+    return pairs, int(drop1) + int(drop2)
+
+
+@partial(jax.jit, static_argnames=("dims", "cap", "qcap", "max_pairs"))
+def _bucket_pairs_device(binned2, index2, binned1, index1, margin,
+                         dims, cap: int, qcap: int, max_pairs: int):
+    """27-run roll assembly + per-(query, lane) AABB test + top-k pair
+    extraction, tiled over cells to bound memory."""
+    Gx, Gy, Gz = dims
+    C = Gx * Gy * Gz
+
+    def rolled(arr2d):
+        a = arr2d.reshape(Gx, Gy, Gz, cap)
+        parts = []
+        for (dx, dy, dz) in RUN_OFFSETS_:
+            r = jnp.roll(a, (-dx, -dy, -dz), (0, 1, 2)).reshape(C, cap)
+            parts.append(r)
+        return jnp.concatenate(parts, -1)
+
+    lo2r = [rolled(binned2[i]) for i in range(3)]
+    hi2r = [rolled(binned2[3 + i]) for i in range(3)]
+    idx2r = rolled(index2.astype(jnp.float32))
+    KC = 27 * cap
+
+    T = 8
+    cp = -(-C // T) * T
+    padc = cp - C
+
+    def padrows(a, v):
+        return jnp.pad(a, ((0, padc), (0, 0)), constant_values=v)
+
+    lo2r = [padrows(a, np.inf) for a in lo2r]
+    hi2r = [padrows(a, -np.inf) for a in hi2r]
+    idx2r = padrows(idx2r, -1.0)
+    b1 = [padrows(binned1[i], np.inf) for i in range(3)] + \
+        [padrows(binned1[3 + i], -np.inf) for i in range(3)]
+    i1 = padrows(index1.astype(jnp.float32), -1.0)
+
+    def body(args):
+        q_lo_hi, qi, c_lo, c_hi, ci = args
+        qlo = jnp.stack(q_lo_hi[0:3], -1)       # [T, qcap, 3]
+        qhi = jnp.stack(q_lo_hi[3:6], -1)
+        clo = jnp.stack(c_lo, -1)               # [T, KC, 3]
+        chi = jnp.stack(c_hi, -1)
+        m = margin
+        hit = jnp.all(
+            (qlo[:, :, None, :] <= chi[:, None, :, :] + m)
+            & (clo[:, None, :, :] <= qhi[:, :, None, :] + m), -1)
+        hit = hit & (qi[:, :, None] >= 0) & (ci[:, None, :] >= 0)
+        # up to max_pairs hits per query: top_k on hit-masked lane ids
+        score = jnp.where(hit, 1.0, 0.0) * (KC - jnp.arange(
+            KC, dtype=jnp.float32))[None, None, :]
+        vals, lanes = jax.lax.top_k(score, max_pairs)
+        got = vals > 0.0
+        hidx = jnp.take_along_axis(
+            jnp.broadcast_to(ci[:, None, :],
+                             (T, qcap, KC)), lanes, -1)
+        out1 = jnp.where(got, qi[:, :, None],
+                         -1.0 * jnp.ones_like(vals))
+        out2 = jnp.where(got, hidx, -1.0)
+        return out1, out2
+
+    n = cp // T
+    args = (
+        tuple(b.reshape(n, T, qcap) for b in b1),
+        i1.reshape(n, T, qcap),
+        tuple(a.reshape(n, T, KC) for a in lo2r),
+        tuple(a.reshape(n, T, KC) for a in hi2r),
+        idx2r.reshape(n, T, KC))
+    o1, o2 = jax.lax.map(body, args)
+    return o1.astype(jnp.int32), o2.astype(jnp.int32)
+
+
+RUN_OFFSETS_ = tuple(sorted(
+    ((dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)),
+    key=lambda o: (o[0] * o[0] + o[1] * o[1] + o[2] * o[2],) + o))
 
 
 def _voxel_aabbs(vg: VoxelGrid):
@@ -110,6 +260,19 @@ def _flat_occ_index(og: OccupancyGrid, idx: np.ndarray) -> np.ndarray:
 def _voxel_voxel(vg1: VoxelGrid, vg2: VoxelGrid, margin: float):
     lo1, hi1 = _voxel_aabbs(vg1)
     lo2, hi2 = _voxel_aabbs(vg2)
+    n, m = lo1.shape[0], lo2.shape[0]
+    if n * m > _DENSE_LIMIT:
+        got = _bucket_overlap_pairs(lo1, hi1, lo2, hi2, margin)
+        if got is not None:
+            pairs, dropped = got
+            res = CollisionResult(CollisionType.VoxelGrid,
+                                  CollisionType.VoxelGrid, pairs)
+            res.n_dropped = dropped
+            if dropped:
+                console.log_warning(
+                    "[ComputeIntersection] bucket broad phase dropped "
+                    f"{dropped} overflowing boxes")
+            return res
     mat = _aabb_overlap_pairs(lo1, hi1, lo2, hi2, margin)
     return CollisionResult(CollisionType.VoxelGrid, CollisionType.VoxelGrid,
                            _pairs_from_matrix(mat))
@@ -156,15 +319,26 @@ def _voxel_occgrid(vg: VoxelGrid, og: OccupancyGrid, margin: float,
                    swap: bool):
     lo1, hi1 = _voxel_aabbs(vg)
     lo2, hi2, idx = _occ_aabbs(og)
-    mat = _aabb_overlap_pairs(lo1, hi1, lo2, hi2, margin)
-    pairs = _pairs_from_matrix(mat)
+    if lo1.shape[0] * lo2.shape[0] > _DENSE_LIMIT:
+        got = _bucket_overlap_pairs(lo1, hi1, lo2, hi2, margin)
+    else:
+        got = None
+    if got is not None:
+        pairs, dropped = got
+    else:
+        dropped = 0
+        mat = _aabb_overlap_pairs(lo1, hi1, lo2, hi2, margin)
+        pairs = _pairs_from_matrix(mat)
     flat = _flat_occ_index(og, np.asarray(idx))
     pairs[:, 1] = flat[pairs[:, 1]]
     if swap:
-        return CollisionResult(CollisionType.OccupancyGrid,
-                               CollisionType.VoxelGrid, pairs[:, ::-1])
-    return CollisionResult(CollisionType.VoxelGrid,
-                           CollisionType.OccupancyGrid, pairs)
+        res = CollisionResult(CollisionType.OccupancyGrid,
+                              CollisionType.VoxelGrid, pairs[:, ::-1])
+    else:
+        res = CollisionResult(CollisionType.VoxelGrid,
+                              CollisionType.OccupancyGrid, pairs)
+    res.n_dropped = dropped
+    return res
 
 
 def _primitives_voxels(prims: List[Primitive], vg: VoxelGrid, margin: float,

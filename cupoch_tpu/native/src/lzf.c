@@ -15,8 +15,11 @@
 #define HSIZE (1u << HLOG)
 
 static inline uint32_t hash3(const uint8_t *p) {
+    /* Fibonacci-multiplicative mix (Knuth) of the next 3 bytes; any
+     * 3-byte hash preserves the wire format since matches are
+     * verified byte-for-byte before being emitted. */
     uint32_t v = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
-    return (((v >> (3 * 8 - HLOG)) - v * 5) & (HSIZE - 1));
+    return (v * 2654435761u) >> (32 - HLOG);
 }
 
 /* Compress in_len bytes; returns compressed size or 0 if the output
