@@ -92,7 +92,11 @@ def tri_tri(p1, q1, r1, p2, q2, r2, eps: float = 1e-10):
     Batched [...,3] -> [...] bool."""
 
     def signed(a, b, c, d):
-        return jnp.sum(jnp.cross(b - a, c - a) * (d - a), -1)
+        s = jnp.sum(jnp.cross(b - a, c - a) * (d - a), -1)
+        # a vertex exactly on the other plane (s == 0) breaks the
+        # crossing-edge selection below; classify it as epsilon-above
+        # (the coplanar branch still sees |s| <= eps)
+        return jnp.where(s == 0.0, jnp.float32(1e-30), s)
 
     d_p2 = signed(p1, q1, r1, p2)
     d_q2 = signed(p1, q1, r1, q2)

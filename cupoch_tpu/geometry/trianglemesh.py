@@ -330,6 +330,59 @@ class TriangleMesh(MeshBase):
     def get_oriented_bounding_box(self):
         return OrientedBoundingBox.create_from_points(self.vertices)
 
+    def get_self_intersecting_triangles(self) -> np.ndarray:
+        """Pairs of intersecting, non-adjacent triangles.
+
+        reference: GetSelfIntersectingTriangles (trianglemesh.h:197,
+        trianglemesh.cu) — the reference tests all O(F^2) pairs on
+        GPU; here candidate pairs come from the bucket AABB broad
+        phase (collision.py) and only candidates run the exact
+        Möller tri-tri test, batched on device."""
+        from ..collision.collision import (
+            _DENSE_LIMIT, _aabb_overlap_pairs, _bucket_overlap_pairs,
+            _pairs_from_matrix,
+        )
+        from .intersection_test import tri_tri
+
+        v = np.asarray(self.vertices)
+        t = np.asarray(self.triangles)
+        F = len(t)
+        if F == 0:
+            return np.zeros((0, 2), np.int32)
+        tv = v[t]                      # [F, 3, 3]
+        lo = tv.min(1).astype(np.float32)
+        hi = tv.max(1).astype(np.float32)
+        if F * F > _DENSE_LIMIT:
+            got = _bucket_overlap_pairs(lo, hi, lo, hi, 0.0)
+        else:
+            got = None
+        if got is not None:
+            pairs = got[0]
+        else:
+            pairs = _pairs_from_matrix(_aabb_overlap_pairs(
+                jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(lo),
+                jnp.asarray(hi), 0.0))
+        pairs = pairs[pairs[:, 0] < pairs[:, 1]]
+        if len(pairs) == 0:
+            return np.zeros((0, 2), np.int32)
+        # adjacent triangles (sharing any vertex) are not
+        # self-intersections (same convention as the reference)
+        ta = t[pairs[:, 0]]
+        tb = t[pairs[:, 1]]
+        shared = (ta[:, :, None] == tb[:, None, :]).any((1, 2))
+        pairs = pairs[~shared]
+        if len(pairs) == 0:
+            return np.zeros((0, 2), np.int32)
+        a = jnp.asarray(tv[pairs[:, 0]])
+        b = jnp.asarray(tv[pairs[:, 1]])
+        hi_ = tri_tri(a[:, 0], a[:, 1], a[:, 2],
+                      b[:, 0], b[:, 1], b[:, 2])
+        return pairs[np.asarray(hi_)].astype(np.int32)
+
+    def is_self_intersecting(self) -> bool:
+        """reference: IsSelfIntersecting (trianglemesh.h:193)."""
+        return len(self.get_self_intersecting_triangles()) > 0
+
 
 def _triangle_normals(v, t):
     v0 = v[t[:, 0]]

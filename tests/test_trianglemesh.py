@@ -108,3 +108,28 @@ def test_scalable_tsdf():
     assert abs(np.median(pts[:, 2]) - 1.0) < vol.voxel_length
     mesh = vol.extract_triangle_mesh()
     assert mesh.has_triangles()
+
+
+def test_self_intersection_detection():
+    # a clean closed tetrahedron has no self-intersections
+    from cupoch_tpu.geometry.trianglemesh_factory import create_tetrahedron
+    tet = create_tetrahedron()
+    assert not tet.is_self_intersecting()
+    assert tet.get_self_intersecting_triangles().shape == (0, 2)
+
+    # two crossing triangles far from each other's vertices
+    import numpy as np
+    import jax.numpy as jnp
+    from cupoch_tpu.geometry.trianglemesh import TriangleMesh
+
+    mesh = TriangleMesh(
+        jnp.asarray(np.float32([
+            [-1, 0, -1], [1, 0, -1], [0, 0, 1],     # tri 0 in y=0 plane
+            [0, -1, 0], [0, 1, 0], [0, 0, 2],       # tri 1 crosses it
+            [5, 0, 0], [6, 0, 0], [5, 1, 0],        # tri 2 far away
+        ])),
+        jnp.asarray(np.int32([[0, 1, 2], [3, 4, 5], [6, 7, 8]])))
+    pairs = mesh.get_self_intersecting_triangles()
+    assert mesh.is_self_intersecting()
+    assert [0, 1] in pairs.tolist()
+    assert not any(2 in p for p in pairs.tolist())
