@@ -171,13 +171,105 @@ class Visualizer:
         return True
 
 
+def _render_projected(geometries, view, width: int, height: int,
+                      render_option: Optional[RenderOption] = None,
+                      filename: Optional[str] = None):
+    """Render through the ViewControl's pinhole camera: project every
+    point with the reference-parity extrinsic/intrinsic
+    (view_control.cpp:115-157) and depth-sort — the camera math, not
+    matplotlib's axes, decides the image."""
+    if not _HAS_MPL:
+        console.log_error("[Visualizer] matplotlib is not available "
+                          "for host-side rendering.")
+    opt = render_option or RenderOption()
+    view.change_window_size(width, height)
+    params = view.convert_to_pinhole_camera_parameters()
+    if params is None:
+        console.log_warning("[Visualizer] cannot render an orthogonal "
+                            "view through the pinhole path.")
+        return None
+    K = np.asarray(params.intrinsic.intrinsic_matrix, np.float64)
+    E = np.asarray(params.extrinsic, np.float64)
+    fig = _plt.figure(figsize=(width / 100, height / 100), dpi=100)
+    ax = fig.add_axes([0, 0, 1, 1])
+    ax.set_facecolor(tuple(opt.background_color))
+    ax.set_xlim(0, width)
+    ax.set_ylim(height, 0)
+    ax.axis("off")
+    for g in geometries:
+        pts, cols, lines = _geometry_arrays(g)
+        if pts.shape[0] == 0:
+            continue
+        if pts.shape[0] > 200000:
+            sel = np.random.default_rng(0).choice(
+                pts.shape[0], 200000, replace=False)
+            pts = pts[sel]
+            cols = cols[sel] if cols is not None else None
+            lines = None
+        cam = pts @ E[:3, :3].T + E[:3, 3]
+        z = cam[:, 2]
+        vis_m = z > 1e-6
+        uv = (cam[:, :2] / np.maximum(z[:, None], 1e-6)) \
+            * K[[0, 1], [0, 1]] + K[[0, 1], [2, 2]]
+        order = np.argsort(-z[vis_m])
+        uvo = uv[vis_m][order]
+        c = None
+        if cols is not None:
+            c = np.clip(cols[vis_m][order], 0, 1)
+        ax.scatter(uvo[:, 0], uvo[:, 1], s=opt.point_size * 0.2, c=c)
+        if lines is not None and len(lines):
+            from matplotlib.collections import LineCollection
+
+            both = vis_m[lines].all(-1)
+            segs = uv[lines[both]]
+            ax.add_collection(LineCollection(
+                segs, linewidths=opt.line_width * 0.5))
+    if filename is not None:
+        fig.savefig(filename, dpi=100)
+        _plt.close(fig)
+        return None
+    return fig
+
+
+def play_view_trajectory(geometry_list, trajectory,
+                         filename_pattern: str = "frame_%05d.png",
+                         width: int = 1024, height: int = 768,
+                         render_option: Optional[RenderOption] = None
+                         ) -> List[str]:
+    """Trajectory playback: render each interpolated camera frame
+    (view_trajectory.cpp:110-126) to a PNG via the pinhole projection
+    path. Returns the written file paths (an MP4 can be assembled with
+    any encoder)."""
+    view = ViewControl()
+    written: List[str] = []
+    n = trajectory.num_of_frames()
+    for k in range(n):
+        ok, status = trajectory.get_interpolated_frame(k)
+        if not ok:
+            break
+        view.convert_from_view_parameters(status)
+        path = filename_pattern % k if "%" in filename_pattern \
+            else filename_pattern
+        _render_projected(geometry_list, view, width, height,
+                          render_option, filename=path)
+        written.append(path)
+    return written
+
+
 def draw_geometries(geometry_list, window_name: str = "cupoch_tpu",
                     width: int = 1024, height: int = 768,
                     left: int = 50, top: int = 50,
-                    filename: Optional[str] = None) -> bool:
-    """reference: DrawGeometries (draw_geometry.cpp). With `filename`
-    the frame is written to disk (headless mode); otherwise a window is
-    attempted via matplotlib."""
+                    filename: Optional[str] = None,
+                    trajectory=None) -> bool:
+    """reference: DrawGeometries (draw_geometry.cpp) +
+    DrawGeometriesWithCustomAnimation (camera trajectory playback).
+    With `filename` one frame is written to disk (headless mode); with
+    `trajectory` (a ViewTrajectory) a frame sequence is written using
+    `filename` as the %-pattern (default frame_%05d.png)."""
+    if trajectory is not None:
+        pattern = filename or "frame_%05d.png"
+        return len(play_view_trajectory(
+            geometry_list, trajectory, pattern, width, height)) > 0
     vis = Visualizer()
     vis.create_window(window_name, width, height, left, top)
     for g in geometry_list:
