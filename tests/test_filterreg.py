@@ -136,3 +136,35 @@ def test_grid_filterreg_converges(rng):
     T = np.asarray(T)
     np.testing.assert_allclose(T[:3, 3], t_true, atol=4e-3)
     np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=4e-3)
+
+
+def test_gmm_kernel_interpret_parity(rng):
+    """The Pallas GMM kernel (rungrid.py:_make_gmm_kernel) must match
+    the XLA fallback exactly in interpret mode (VERDICT r3 item 10:
+    the kernel previously first ran on real TPU with no parity
+    check)."""
+    import jax.numpy as jnp
+    from cupoch_tpu.knn import rungrid as rg
+
+    tgt = rng.uniform(size=(1500, 3)).astype(np.float32)
+    q = rng.uniform(size=(300, 3)).astype(np.float32)
+    sigma = 0.05
+    trunc = 4.0 * sigma
+    inv_2s2 = 1.0 / (2.0 * sigma * sigma)
+    plan = rg.plan_rungrid(tgt, trunc, margin=0.0)
+    grid = rg.make_rungrid(jnp.asarray(tgt),
+                           jnp.zeros((len(tgt), 0), jnp.float32),
+                           plan["origin"], plan["cell_size"],
+                           plan["dims"], plan["cap"])
+    qsoa, qidx = rg.bin_queries(jnp.asarray(q), jnp.asarray(q),
+                                grid.origin, grid.cell_size, grid.dims,
+                                plan["qcap"])
+    params = rg.make_params(jnp.eye(4, dtype=jnp.float32),
+                            jnp.float32(trunc) ** 2, grid,
+                            inv_2s2=jnp.float32(inv_2s2))
+    ref = rg.gmm_moments(grid, qsoa, qidx, params, use_pallas=False)
+    got = rg.gmm_moments(grid, qsoa, qidx, params,
+                         use_pallas="interpret")
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-5)
