@@ -69,6 +69,11 @@ WINDOW = 128
 NPARAMS = 32
 LANE_EPS = 2.0e-9   # per-lane score tie-break (see _lane_eps)
 
+# estimator codes beyond rungrid's (values match
+# registration.estimation.TransformationEstimationType)
+EST_COLORED = 4
+EST_GICP = 5
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -76,8 +81,22 @@ def _round_up(x: int, m: int) -> int:
 
 def n_fields(est: int) -> int:
     """f32 winner-fetch fields: cx, cy, cz, idx always, then
-    estimator-specific (PT2PL: nx, ny, nz, d_rel; SYM: nx, ny, nz)."""
-    return {EST_NONE: 4, EST_PT2PT: 4, EST_PT2PL: 8, EST_SYM: 8}[est]
+    estimator-specific (PT2PL: nx, ny, nz, d_rel; SYM: nx, ny, nz;
+    COLORED: nx, ny, nz, intensity, gx, gy, gz; GICP: cov upper 6)."""
+    return {EST_NONE: 4, EST_PT2PT: 4, EST_PT2PL: 8, EST_SYM: 8,
+            EST_COLORED: 11, EST_GICP: 10}[est]
+
+
+def n_query_extra(est: int) -> int:
+    """Query-side extra channels pooled alongside x, y, z, tag:
+    SYM: source normal (3); COLORED: source intensity (1);
+    GICP: source covariance upper-triangle (6)."""
+    return {EST_NONE: 0, EST_PT2PT: 0, EST_PT2PL: 0, EST_SYM: 3,
+            EST_COLORED: 1, EST_GICP: 6}[est]
+
+
+def query_channels(est: int) -> int:
+    return 12 if n_query_extra(est) > 4 else 8
 
 
 # ---------------------------------------------------------------------------
@@ -89,8 +108,10 @@ class PoolGrid:
 
     scan    [C*4, KC]          bf16 rows per cell: -2cx, -2cy, -2cz,
                                |c|^2 (cell-centered; empty |c|^2=BIG)
-    fieldsT [G*NW*T*128, F]    f32 winner-fetch fields, rows ordered
-                               (tile, window, cell-in-tile, lane)
+    fieldsT [G*NW*128, T*F]    f32 winner-fetch fields; rows ordered
+                               (tile, window, lane); cols (cell, field)
+                               so the one-hot fetch matmul contracts
+                               over window lanes with no padding waste
     pbounds [G, NW]            min candidate distance per window per
                                TILE (+inf where empty)
     """
@@ -289,7 +310,9 @@ def cell_centers(dims, origin, cell_size, C: int):
 def _est_field_channels(est: int, points, attrs, cen):
     """Per-point estimator field channels (beyond coords + idx).
     PT2PL: attrs [N,4] = (normal, d = n.p); d re-centered per cell so
-    the kernel residual n.e - d_rel equals world-frame n.q - d."""
+    the kernel residual n.e - d_rel equals world-frame n.q - d.
+    COLORED: attrs [N,7] = (normal, intensity, color gradient).
+    GICP: attrs [N,6] = covariance upper triangle."""
     if est == EST_PT2PL:
         n0, n1, n2, d = (attrs[:, i] for i in range(4))
         d_rel = d - (n0 * cen[:, 0] + n1 * cen[:, 1] + n2 * cen[:, 2])
@@ -297,6 +320,10 @@ def _est_field_channels(est: int, points, attrs, cen):
     if est == EST_SYM:
         return [attrs[:, 0], attrs[:, 1], attrs[:, 2],
                 jnp.zeros(points.shape[0], jnp.float32)]
+    if est == EST_COLORED:
+        return [attrs[:, i] for i in range(7)]
+    if est == EST_GICP:
+        return [attrs[:, i] for i in range(6)]
     return []
 
 
@@ -379,11 +406,11 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
         .astype(jnp.bfloat16).reshape(C * 4, kc)
 
     # (b) fetch fields, f32, transposed per (tile, window):
-    # rows (tile, window, cell-in-tile, lane)
+    # rows (tile, window, lane), cols (cell-in-tile, field)
     f_all = jnp.stack([cx, cy, cz, idx_r] + fch
                       + [jnp.zeros_like(cx)] * (F - 4 - len(fch)), 1)
     fT = f_all.reshape(G, tile, F, NW, WINDOW) \
-        .transpose(0, 3, 1, 4, 2).reshape(G * NW * tile * WINDOW, F)
+        .transpose(0, 3, 4, 1, 2).reshape(G * NW * WINDOW, tile * F)
 
     # (c) exact per-window bounds, pooled per tile
     wmin = jnp.min(dist.reshape(C, NW, WINDOW), -1)
@@ -409,17 +436,17 @@ def make_poolgrid(points, attrs, origin, cell_size, dims, cap, kc,
 # query-side pooling
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("dims", "qp", "tile", "with_normals"))
+@partial(jax.jit, static_argnames=("dims", "qp", "tile", "n_extra"))
 def bin_queries_pool(points, bin_positions, origin, cell_size,
                      dims: Tuple[int, int, int], qp: int, tile: int,
-                     normals=None, with_normals: bool = False,
-                     mask=None):
+                     extra=None, n_extra: int = 0, mask=None):
     """Pool queries per tile of `tile` consecutive z-cells.
 
-    Returns (qpool [G, 8, QP] f32 rows (x, y, z, tagf, nx, ny, nz, 0),
-    qidx [G, QP] int32 (-1 empty), n_dropped). Queries keep ORIGINAL
-    coords; binned by `bin_positions` (position under the binning
-    transform). tagf = cell-within-tile, -1 for empty slots."""
+    Returns (qpool [G, CH, QP] f32 rows (x, y, z, tagf, extra..., 0),
+    qidx [G, QP] int32 (-1 empty), n_dropped). CH = 8, or 12 when
+    more than 4 extra channels ride along (GICP covariances). Queries
+    keep ORIGINAL coords; binned by `bin_positions` (position under
+    the binning transform). tagf = cell-within-tile, -1 empty."""
     C = dims[0] * dims[1] * dims[2]
     G = C // tile
     key, lin, inb = _cell_key(bin_positions, origin, cell_size, dims,
@@ -427,15 +454,16 @@ def bin_queries_pool(points, bin_positions, origin, cell_size,
     # rank within TILE but keep tag = cell-within-tile per query
     tagf = jnp.where(inb, (lin % tile).astype(jnp.float32), -1.0)
     channels = [points[:, 0], points[:, 1], points[:, 2], tagf]
-    if with_normals:
-        channels += [normals[:, 0], normals[:, 1], normals[:, 2]]
+    for i in range(n_extra):
+        channels.append(extra[:, i])
     fill = [jnp.float32(0.0)] * 3 + [jnp.float32(-1.0)] + \
-        [jnp.float32(0.0)] * (3 if with_normals else 0)
+        [jnp.float32(0.0)] * n_extra
     binned, index, n_dropped = _bin_to_slots(key, G, qp, channels,
                                              fill)
+    CH = 12 if n_extra > 4 else 8
     rows = binned + [jnp.zeros((G, qp), jnp.float32)] * (
-        8 - len(binned))
-    qpool = jnp.stack(rows[:8], 1)
+        CH - len(binned))
+    qpool = jnp.stack(rows[:CH], 1)
     return qpool, index, n_dropped
 
 
@@ -443,17 +471,124 @@ def bin_queries_pool(points, bin_positions, origin, cell_size,
 # kernel
 # ---------------------------------------------------------------------------
 
-def make_params(T, r2, grid: PoolGrid):
+def make_params(T, r2, grid: PoolGrid, extra0=0.0, extra1=0.0):
     """[NPARAMS] f32: R row-major (0-8), t (9-11), r^2 (12), origin
-    (13-15), cell_size (16), spare."""
+    (13-15), cell_size (16), estimator extras (17-18: Colored ICP's
+    sqrt lambda_geometric / sqrt lambda_photometric), spare."""
     R = T[:3, :3].reshape(-1)
     t = T[:3, 3]
     head = jnp.concatenate([
         R, t, jnp.asarray(r2, jnp.float32).reshape(1),
         jnp.asarray(grid.origin, jnp.float32).reshape(3),
-        jnp.asarray(grid.cell_size, jnp.float32).reshape(1)])
+        jnp.asarray(grid.cell_size, jnp.float32).reshape(1),
+        jnp.asarray(extra0, jnp.float32).reshape(1),
+        jnp.asarray(extra1, jnp.float32).reshape(1)])
     return jnp.concatenate([
         head, jnp.zeros(NPARAMS - head.shape[0], jnp.float32)])
+
+
+def _gn_terms_ext(est: int, f, tx, ty, tz, dx, dy, dz, q_extra,
+                  R9, slg, slp, ok, d2c):
+    """GN sum terms for the Colored ICP / GICP estimators.
+
+    f: fetched field columns beyond (coords, idx); d* = q - p (world
+    residual, exact since both are in the same cell frame); q_extra:
+    pooled query extras (source intensity / covariance); R9: rotation
+    scalars for rotating the source covariance.
+
+    reference: compute_jacobian_and_residual_functor
+    (colored_icp.cu:150-216) and the Mahalanobis plane-to-plane step
+    (generalized_icp.cu:64-106) — the sqrtm whitening is unnecessary
+    for the normal equations since (WJ)^T(WJ) = J^T M^-1 J."""
+    w = ok.astype(jnp.float32)
+    if est == EST_COLORED:
+        nx, ny, nz = f[0], f[1], f[2]
+        it = f[3]
+        gx, gy, gz = f[4], f[5], f[6]
+        i_s = q_extra[0]
+        dn = nx * dx + ny * dy + nz * dz
+        r_g = slg * dn
+        jg = (slg * (ty * nz - tz * ny), slg * (tz * nx - tx * nz),
+              slg * (tx * ny - ty * nx), slg * nx, slg * ny, slg * nz)
+        gn = gx * nx + gy * ny + gz * nz
+        ex_, ey_, ez_ = (-(gx - gn * nx), -(gy - gn * ny),
+                         -(gz - gn * nz))    # ditM
+        vpx = dx - dn * nx
+        vpy = dy - dn * ny
+        vpz = dz - dn * nz
+        is0 = gx * vpx + gy * vpy + gz * vpz + it
+        r_p = slp * (i_s - is0)
+        jp = (slp * (ty * ez_ - tz * ey_), slp * (tz * ex_ - tx * ez_),
+              slp * (tx * ey_ - ty * ex_), slp * ex_, slp * ey_,
+              slp * ez_)
+        terms = []
+        for i in range(6):
+            for k in range(i, 6):
+                terms.append(w * (jg[i] * jg[k] + jp[i] * jp[k]))
+        for i in range(6):
+            terms.append(w * (jg[i] * r_g + jp[i] * r_p))
+        terms.append(w)
+        terms.append(d2c)
+        return terms
+    if est == EST_GICP:
+        ct = f[:6]                # target cov upper triangle
+        cs = q_extra[:6]          # source cov upper triangle
+        R00, R01, R02, R10, R11, R12, R20, R21, R22 = R9
+        a, b, c, d, e, g = cs
+        # B = R Cs (rows of R times symmetric Cs)
+        B00 = R00 * a + R01 * b + R02 * c
+        B01 = R00 * b + R01 * d + R02 * e
+        B02 = R00 * c + R01 * e + R02 * g
+        B10 = R10 * a + R11 * b + R12 * c
+        B11 = R10 * b + R11 * d + R12 * e
+        B12 = R10 * c + R11 * e + R12 * g
+        B20 = R20 * a + R21 * b + R22 * c
+        B21 = R20 * b + R21 * d + R22 * e
+        B22 = R20 * c + R21 * e + R22 * g
+        # M = Ct + B R^T (symmetric)
+        m00 = ct[0] + B00 * R00 + B01 * R01 + B02 * R02
+        m01 = ct[1] + B00 * R10 + B01 * R11 + B02 * R12
+        m02 = ct[2] + B00 * R20 + B01 * R21 + B02 * R22
+        m11 = ct[3] + B10 * R10 + B11 * R11 + B12 * R12
+        m12 = ct[4] + B10 * R20 + B11 * R21 + B12 * R22
+        m22 = ct[5] + B20 * R20 + B21 * R21 + B22 * R22
+        # A = M^-1 (adjugate / det; M is PSD + epsilon-regularized)
+        a00 = m11 * m22 - m12 * m12
+        a01 = m02 * m12 - m01 * m22
+        a02 = m01 * m12 - m02 * m11
+        a11 = m00 * m22 - m02 * m02
+        a12 = m01 * m02 - m00 * m12
+        a22 = m00 * m11 - m01 * m01
+        det = m00 * a00 + m01 * a01 + m02 * a02
+        inv = 1.0 / jnp.maximum(det, 1e-30)
+        a00, a01, a02 = a00 * inv, a01 * inv, a02 * inv
+        a11, a12, a22 = a11 * inv, a12 * inv, a22 * inv
+        # J0 columns: u0=(0,-z,y) u1=(z,0,-x) u2=(-y,x,0) u3..5 = e_i
+        ucols = ((jnp.zeros_like(tx), -tz, ty),
+                 (tz, jnp.zeros_like(tx), -tx),
+                 (-ty, tx, jnp.zeros_like(tx)),
+                 (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+
+        def Au(u):
+            ux, uy, uz = u
+            return (a00 * ux + a01 * uy + a02 * uz,
+                    a01 * ux + a11 * uy + a12 * uz,
+                    a02 * ux + a12 * uy + a22 * uz)
+
+        Aus = [Au(u) for u in ucols]
+        terms = []
+        for i in range(6):
+            for k in range(i, 6):
+                ux, uy, uz = ucols[i]
+                vx, vy, vz = Aus[k]
+                terms.append(w * (ux * vx + uy * vy + uz * vz))
+        for i in range(6):
+            vx, vy, vz = Aus[i]
+            terms.append(w * (dx * vx + dy * vy + dz * vz))
+        terms.append(w)
+        terms.append(d2c)
+        return terms
+    raise ValueError(est)
 
 
 def _lane_eps(w: int):
@@ -485,10 +620,11 @@ def _make_pool_kernel(est: int, T: int, QP: int, KC: int, dims,
     n_sums = N_SUMS
 
     def kern(p_ref, q_ref, c_ref, ft_ref, b_ref, *out_and_scratch):
-        outs = out_and_scratch[:1]
-        acc = out_and_scratch[1]
-        wwin = out_and_scratch[2]
-        fa = out_and_scratch[3]
+        n_out = 2 if corres else 1
+        outs = out_and_scratch[:n_out]
+        acc = out_and_scratch[n_out]
+        wwin = out_and_scratch[n_out + 1]
+        fa = out_and_scratch[n_out + 2]
         i = pl.program_id(0)
         R00, R01, R02 = p_ref[0, 0], p_ref[0, 1], p_ref[0, 2]
         R10, R11, R12 = p_ref[0, 3], p_ref[0, 4], p_ref[0, 5]
@@ -572,21 +708,19 @@ def _make_pool_kernel(est: int, T: int, QP: int, KC: int, dims,
         # deferred winner fetch: one-hot (recomputed score == m)
         # against the pre-transposed field table, accumulated over the
         # windows that hold winners (fa scratch persists across the
-        # pl.when blocks; winner is one-hot by the lane-eps tie-break)
+        # pl.when blocks; winner is one-hot by the lane-eps tie-break).
+        # Output columns are (cell, field); the query's own cell is
+        # selected by tag afterwards, so the one-hot needs no
+        # block-diagonal expansion.
         def fetch_window(w):
             v = score(w)
             eq = ((wwin[:] == float(w)) & (v <= m)).astype(jnp.float32)
-            # expand block-diagonally by tag: [QP, T*WINDOW]
-            ecols = []
-            for t in range(T):
-                ecols.append(jnp.where(tag == float(t), eq, 0.0))
-            eq2 = jnp.concatenate(ecols, -1)
-            ftw = ft_ref[pl.ds(w * T * WINDOW, T * WINDOW), :]
+            ftw = ft_ref[pl.ds(w * WINDOW, WINDOW), :]
             fa[:] = fa[:] + jax.lax.dot_general(
-                eq2, ftw, (((1,), (0,)), ((), ())),
+                eq, ftw, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        fa[:] = jnp.zeros((QP, F), jnp.float32)
+        fa[:] = jnp.zeros((QP, T * F), jnp.float32)
         for w in range(min(prefix, NW)):
             fetch_window(w)
         for (blo, bhi) in blocks:
@@ -598,7 +732,13 @@ def _make_pool_kernel(est: int, T: int, QP: int, KC: int, dims,
                 for w in range(blo, bhi):
                     fetch_window(w)
 
-        FA = fa[:]
+        # tag-select the query's own cell block of fields
+        fcol = jax.lax.broadcasted_iota(jnp.int32, (QP, T * F), 1)
+        tmask = ((fcol // F).astype(jnp.float32) == tag)
+        F2m = jnp.where(tmask, fa[:], 0.0)
+        FA = F2m[:, 0:F]
+        for t in range(1, T):
+            FA = FA + F2m[:, t * F:(t + 1) * F]
         fcx = FA[:, 0:1]
         fcy = FA[:, 1:2]
         fcz = FA[:, 2:3]
@@ -609,10 +749,9 @@ def _make_pool_kernel(est: int, T: int, QP: int, KC: int, dims,
         if corres:
             d2o = jnp.where(ok, d2, jnp.float32(np.inf))
             idxo = jnp.where(ok, fidx, jnp.float32(INVALID_INDEX))
-            row = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (QP, 2), 1) == 0,
-                d2o, idxo)
-            outs[0][pl.ds((i % 8) * QP, QP), :] = row
+            r = i % 8
+            outs[0][pl.ds(r, 1), :] = d2o[:, 0][None, :]
+            outs[1][pl.ds(r, 1), :] = idxo[:, 0][None, :]
             return
 
         d2c = jnp.where(ok, d2, 0.0)
@@ -627,12 +766,21 @@ def _make_pool_kernel(est: int, T: int, QP: int, KC: int, dims,
         else:
             src_n = None
         fetched = [FA[:, 4 + k:5 + k] for k in range(F - 4)]
-        if est == EST_PT2PT:
-            fetched = [fcx, fcy, fcz]
-        elif est == EST_SYM:
-            fetched = [fcx, fcy, fcz] + fetched[:3]
-        terms = _gn_terms(est, fetched, tx, ty, tz, ex, ey, ez,
-                          ccx, ccy, ccz, src_n, okf, d2c)
+        if est in (EST_COLORED, EST_GICP):
+            qe = tuple(qt[:, 4 + k:5 + k]
+                       for k in range(n_query_extra(est)))
+            terms = _gn_terms_ext(
+                est, fetched, tx, ty, tz, ex - fcx, ey - fcy,
+                ez - fcz, qe,
+                (R00, R01, R02, R10, R11, R12, R20, R21, R22),
+                p_ref[0, 17], p_ref[0, 18], okf, d2c)
+        else:
+            if est == EST_PT2PT:
+                fetched = [fcx, fcy, fcz]
+            elif est == EST_SYM:
+                fetched = [fcx, fcy, fcz] + fetched[:3]
+            terms = _gn_terms(est, fetched, tx, ty, tz, ex, ey, ez,
+                              ccx, ccy, ccz, src_n, okf, d2c)
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, n_sums), 1)
         row = jnp.zeros((1, n_sums), jnp.float32)
         for s, term in enumerate(terms):
@@ -653,7 +801,7 @@ def fused_pool_query(grid: PoolGrid, qpool, params, est: int,
     if not use_pallas:
         return _pool_query_xla(grid, qpool, params, est, corres)
     interpret = use_pallas == "interpret"
-    G, _, QP = qpool.shape
+    G, CH, QP = qpool.shape
     KC = grid.kc
     T = grid.tile
     NW = grid.n_windows
@@ -661,12 +809,12 @@ def fused_pool_query(grid: PoolGrid, qpool, params, est: int,
     kern = _make_pool_kernel(est, T, QP, KC, grid.dims, corres, F)
     scratch = [pltpu.VMEM((QP, WINDOW), jnp.float32),
                pltpu.VMEM((QP, WINDOW), jnp.float32),
-               pltpu.VMEM((QP, F), jnp.float32)]
+               pltpu.VMEM((QP, T * F), jnp.float32)]
     if corres:
         gb = min(8, G)
-        out_shape = [jax.ShapeDtypeStruct((G * QP, 2), jnp.float32)]
-        out_specs = [pl.BlockSpec((gb * QP, 2), lambda i: (i // 8, 0),
-                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((G, QP), jnp.float32)] * 2
+        out_specs = [pl.BlockSpec((gb, QP), lambda i: (i // 8, 0),
+                                  memory_space=pltpu.VMEM)] * 2
     else:
         out_shape = [jax.ShapeDtypeStruct((G, N_SUMS), jnp.float32)]
         out_specs = [pl.BlockSpec((G, N_SUMS), lambda i: (0, 0),
@@ -677,11 +825,11 @@ def fused_pool_query(grid: PoolGrid, qpool, params, est: int,
         in_specs=[
             pl.BlockSpec((1, NPARAMS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 8, QP), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, CH, QP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * T, KC), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW * T * WINDOW, F), lambda i: (i, 0),
+            pl.BlockSpec((NW * WINDOW, T * F), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, NW), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -693,8 +841,7 @@ def fused_pool_query(grid: PoolGrid, qpool, params, est: int,
     )(params.reshape(1, NPARAMS), qpool, grid.scan, grid.fieldsT,
       grid.pbounds.reshape(G, 1, NW))
     if corres:
-        flat = outs[0].reshape(G, QP, 2)
-        return flat[:, :, 0], flat[:, :, 1]
+        return outs[0], outs[1]
     return outs[0]
 
 
@@ -706,7 +853,7 @@ def _pool_query_xla(grid: PoolGrid, qpool, params, est: int,
                     corres: bool):
     """Same semantics as the kernel: bf16 block-diag score + lane-eps
     tie-break + exact d2 from fetched f32 fields."""
-    G, _, QP = qpool.shape
+    G, CH, QP = qpool.shape
     KC = grid.kc
     T = grid.tile
     NW = grid.n_windows
@@ -719,7 +866,7 @@ def _pool_query_xla(grid: PoolGrid, qpool, params, est: int,
     Gx, Gy, Gz = grid.dims
 
     scan = grid.scan.reshape(G, T, 4, KC)
-    fT = grid.fieldsT.reshape(G, NW, T, WINDOW, F)
+    fT = grid.fieldsT.reshape(G, NW, WINDOW, T, F)
     eps = (jnp.arange(KC, dtype=jnp.float32) * LANE_EPS)[None, None, :]
 
     def body(args):
@@ -750,7 +897,7 @@ def _pool_query_xla(grid: PoolGrid, qpool, params, est: int,
         lane = jnp.argmin(v, -1)
         w = (lane // WINDOW).astype(jnp.int32)
         l = (lane % WINDOW).astype(jnp.int32)
-        fsel = ft[w, tgi, l]                      # [QP, F]
+        fsel = ft[w, l, tgi]                      # [QP, F]
         fc = fsel[:, 0:3]
         fidx = fsel[:, 3]
         d2 = jnp.sum((e - fc) ** 2, -1)
@@ -766,15 +913,24 @@ def _pool_query_xla(grid: PoolGrid, qpool, params, est: int,
             src_n = (sn[:, 0], sn[:, 1], sn[:, 2])
         else:
             src_n = None
-        if est == EST_PT2PT:
-            fetched = [fc[:, 0], fc[:, 1], fc[:, 2]]
-        elif est == EST_SYM:
-            fetched = [fc[:, 0], fc[:, 1], fc[:, 2],
-                       fsel[:, 4], fsel[:, 5], fsel[:, 6]]
-        else:
+        if est in (EST_COLORED, EST_GICP):
             fetched = [fsel[:, 4 + k] for k in range(F - 4)]
-        terms = _gn_terms(est, fetched, tx, ty, tz, exq, eyq, ezq,
-                          cc[:, 0], cc[:, 1], cc[:, 2], src_n, ok, d2c)
+            qe = tuple(qt[:, 4 + k] for k in range(n_query_extra(est)))
+            terms = _gn_terms_ext(
+                est, fetched, tx, ty, tz,
+                exq - fc[:, 0], eyq - fc[:, 1], ezq - fc[:, 2], qe,
+                tuple(R.reshape(-1)), params[17], params[18], ok, d2c)
+        else:
+            if est == EST_PT2PT:
+                fetched = [fc[:, 0], fc[:, 1], fc[:, 2]]
+            elif est == EST_SYM:
+                fetched = [fc[:, 0], fc[:, 1], fc[:, 2],
+                           fsel[:, 4], fsel[:, 5], fsel[:, 6]]
+            else:
+                fetched = [fsel[:, 4 + k] for k in range(F - 4)]
+            terms = _gn_terms(est, fetched, tx, ty, tz, exq, eyq, ezq,
+                              cc[:, 0], cc[:, 1], cc[:, 2], src_n, ok,
+                              d2c)
         row = jnp.zeros(N_SUMS, jnp.float32)
         for s, term in enumerate(terms):
             row = row.at[s].set(jnp.sum(term))

@@ -52,13 +52,18 @@ def _est_code(est_type: TransformationEstimationType) -> int:
         TransformationEstimationType.PointToPoint: rungrid.EST_PT2PT,
         TransformationEstimationType.PointToPlane: rungrid.EST_PT2PL,
         TransformationEstimationType.SymmetricMethod: rungrid.EST_SYM,
+        TransformationEstimationType.ColoredICP: poolgrid.EST_COLORED,
+        TransformationEstimationType.GeneralizedICP: poolgrid.EST_GICP,
     }[est_type]
 
 
-def make_target_attrs(est_type, tgt_pts, tgt_normals):
-    """Per-target attribute channels for the rungrid build (target
-    point coordinates ride in the grid's own candidate channels);
-    returns (attrs, est_code for the est-aware build/kernels)."""
+def make_target_attrs(est_type, tgt_pts, tgt_normals, tgt_aux=None):
+    """Per-target attribute channels for the grid build (target point
+    coordinates ride in the grid's own candidate channels); returns
+    (attrs, est_code for the est-aware build/kernels).
+
+    tgt_aux: ColoredICP — dict with "intensity" [M] and "gradient"
+    [M, 3]; GeneralizedICP — dict with "cov" [M, 3, 3]."""
     est = _est_code(est_type)
     if est_type == TransformationEstimationType.PointToPoint:
         return jnp.zeros((tgt_pts.shape[0], 0), jnp.float32), est
@@ -67,7 +72,20 @@ def make_target_attrs(est_type, tgt_pts, tgt_normals):
         return jnp.concatenate([tgt_normals, d], -1), est
     if est_type == TransformationEstimationType.SymmetricMethod:
         return tgt_normals, est
+    if est_type == TransformationEstimationType.ColoredICP:
+        return jnp.concatenate([
+            tgt_normals, tgt_aux["intensity"][:, None],
+            tgt_aux["gradient"]], -1), est
+    if est_type == TransformationEstimationType.GeneralizedICP:
+        return cov_upper6(tgt_aux["cov"]), est
     raise ValueError(f"unsupported estimator {est_type}")
+
+
+def cov_upper6(cov):
+    """[N, 3, 3] symmetric -> [N, 6] upper triangle (c00, c01, c02,
+    c11, c12, c22)."""
+    return jnp.stack([cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2],
+                      cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]], -1)
 
 
 def kabsch_from_sums(sums) -> jax.Array:
@@ -239,7 +257,8 @@ def icp_core_rungrid(
 def icp_core_pool(
     src: jax.Array,            # [Np, 3] padded source points
     src_mask: jax.Array,       # [Np]
-    src_normals: jax.Array,    # [Np, 3] (used by symmetric only)
+    src_aux: jax.Array,        # [Np, E] est extras (sym: normals;
+                               # colored: intensity; gicp: cov6)
     grid: poolgrid.PoolGrid,
     init_T: jax.Array,
     max_dist: jax.Array,
@@ -251,33 +270,36 @@ def icp_core_pool(
     max_iteration: int,
     use_pallas: Optional[bool] = None,
     axis_name: Optional[str] = None,
+    extra_params=(0.0, 0.0),
 ):
     """Pooled-grid fused ICP loop (knn/poolgrid.py): the round-4 fast
     path. Same contract as `icp_core_rungrid`; per iteration one
     Pallas pass does MXU-scored correspondence + in-kernel GN
-    reduction over tile-pooled queries. Returns
-    (T, idx [Np] int32, fitness, inlier_rmse, iterations)."""
+    reduction over tile-pooled queries. All five estimators ride this
+    path (reference: colored_icp.cu:150-216, generalized_icp.cu:64-106
+    for the two that fall back to gathers in the reference's design).
+    Returns (T, idx [Np] int32, fitness, inlier_rmse, iterations)."""
     Np = src.shape[0]
     est = _est_code(est_type)
     n_src = jnp.sum(src_mask).astype(jnp.float32)
     if axis_name is not None:
         n_src = jax.lax.psum(n_src, axis_name)
     n_src = jnp.maximum(n_src, 1.0)
-    need_src_normals = (
-        est_type == TransformationEstimationType.SymmetricMethod)
+    n_extra = poolgrid.n_query_extra(est)
     corners = _aabb_corners(src, src_mask, axis_name)
     r2 = jnp.asarray(max_dist, jnp.float32) ** 2
+    e0 = jnp.asarray(extra_params[0], jnp.float32)
+    e1 = jnp.asarray(extra_params[1], jnp.float32)
 
     def rebin(T):
         pos = transform_points(T, src)
         qpool, qidx, _ = poolgrid.bin_queries_pool(
             src, pos, grid.origin, grid.cell_size, grid.dims, qp,
-            grid.tile, normals=src_normals,
-            with_normals=need_src_normals, mask=src_mask)
+            grid.tile, extra=src_aux, n_extra=n_extra, mask=src_mask)
         return qpool, qidx
 
     def gn_pass(T, qpool):
-        params = poolgrid.make_params(T, r2, grid)
+        params = poolgrid.make_params(T, r2, grid, e0, e1)
         partial_sums = poolgrid.fused_pool_query(
             grid, qpool, params, est, False, use_pallas=use_pallas)
         sums = jnp.sum(partial_sums, 0)

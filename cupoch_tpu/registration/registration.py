@@ -314,9 +314,7 @@ def registration_icp(
     # AND the Gauss-Newton reduction. The pooled MXU grid
     # (knn/poolgrid.py) is preferred; the sorted-lane run-grid
     # (knn/rungrid.py) is the fallback when its plan is rejected.
-    if est_type in (TransformationEstimationType.PointToPoint,
-                    TransformationEstimationType.PointToPlane,
-                    TransformationEstimationType.SymmetricMethod) \
+    if est_type != TransformationEstimationType.Unspecified \
             and target.points.shape[0] > _GRID_THRESHOLD:
         from . import fused_icp
         from ..knn import poolgrid, rungrid
@@ -324,8 +322,20 @@ def registration_icp(
         src_np = np.asarray(source.points)
         initn = np.asarray(init_T)
         src_np_t = src_np @ initn[:3, :3].T + initn[:3, 3]
+        tgt_aux = None
+        src_aux = src_normals
+        extra_params = (0.0, 0.0)
+        if est_type == TransformationEstimationType.ColoredICP:
+            tgt_aux = {"intensity": aux["tgt_intensity"],
+                       "gradient": aux["tgt_color_gradient"]}
+            src_aux = aux["src_intensity"][:, None]
+            extra_params = (aux["sqrt_lambda_geometric"],
+                            aux["sqrt_lambda_photometric"])
+        elif est_type == TransformationEstimationType.GeneralizedICP:
+            tgt_aux = {"cov": aux["tgt_cov"]}
+            src_aux = fused_icp.cov_upper6(aux["src_cov"])
         attrs, est_code = fused_icp.make_target_attrs(
-            est_type, tgt, tgt_normals)
+            est_type, tgt, tgt_normals, tgt_aux)
         pplan = poolgrid.plan_poolgrid(
             np.asarray(target.points), max_correspondence_distance,
             query_points=src_np_t, est=est_code)
@@ -335,15 +345,28 @@ def registration_icp(
                 pplan["dims"], pplan["cap"], pplan["kc"],
                 est=est_code, tile=pplan["tile"], mask=tgt_mask)
             T, idx, fit, rmse, it = fused_icp.icp_core_pool(
-                src, src_mask, src_normals, grid, init_T,
+                src, src_mask, src_aux, grid, init_T,
                 jnp.float32(max_correspondence_distance),
                 pplan["rebin_margin"],
                 jnp.float32(criteria.relative_fitness),
                 jnp.float32(criteria.relative_rmse),
-                pplan["qp"], est_type, criteria.max_iteration)
+                pplan["qp"], est_type, criteria.max_iteration,
+                extra_params=extra_params)
             console.log_debug("pooled fused ICP finished after %s "
                               "iterations", int(it))
             return _make_result(T, idx, fit, rmse, len(source))
+    if est_type in (TransformationEstimationType.PointToPoint,
+                    TransformationEstimationType.PointToPlane,
+                    TransformationEstimationType.SymmetricMethod) \
+            and target.points.shape[0] > _GRID_THRESHOLD:
+        from . import fused_icp
+        from ..knn import rungrid
+
+        src_np = np.asarray(source.points)
+        initn = np.asarray(init_T)
+        src_np_t = src_np @ initn[:3, :3].T + initn[:3, 3]
+        attrs, est_code = fused_icp.make_target_attrs(
+            est_type, tgt, tgt_normals)
         plan = rungrid.plan_rungrid(
             np.asarray(target.points), max_correspondence_distance,
             query_points=src_np_t, nch=attrs.shape[1])

@@ -184,3 +184,121 @@ def test_query_pool_overflow_reported(rng):
         plan["cell_size"], plan["dims"], 8, plan["tile"])
     assert int(ndrop) > 0
     assert int(ndrop) + int((np.asarray(qidx) >= 0).sum()) == 500
+
+
+def _colored_pair(rng, m=25000):
+    tgt = _cloud(rng, m)
+    # smooth color field so the photometric term is informative
+    cols = np.stack([
+        0.5 + 0.4 * np.sin(3.0 * tgt[:, 0]),
+        0.5 + 0.4 * np.cos(2.0 * tgt[:, 1]),
+        0.5 + 0.4 * np.sin(4.0 * tgt[:, 2])], -1).astype(np.float32)
+    ang = 0.01
+    R = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0],
+                    [0, 0, 1]], np.float32)
+    t = np.float32([0.003, -0.004, 0.002])
+    src = (tgt - t) @ R
+    Tgt = np.eye(4, dtype=np.float32)
+    Tgt[:3, :3] = R
+    Tgt[:3, 3] = t
+    return tgt, cols, src, Tgt
+
+
+def test_colored_icp_pool_path(rng):
+    from cupoch_tpu.geometry import PointCloud
+    from cupoch_tpu.knn import KDTreeSearchParamHybrid
+    from cupoch_tpu.registration import registration_colored_icp
+    from cupoch_tpu.registration import registration as reg_mod
+
+    tgt, cols, src, Tgt = _colored_pair(rng)
+    target = PointCloud(jnp.asarray(tgt))
+    target.colors = jnp.asarray(cols)
+    target.estimate_normals(KDTreeSearchParamHybrid(0.05, 20))
+    source = PointCloud(jnp.asarray(src))
+    source.colors = jnp.asarray(cols)  # colors move with the points
+
+    assert tgt.shape[0] > reg_mod._GRID_THRESHOLD
+    res = registration_colored_icp(source, target, 0.04)
+    assert res.fitness > 0.99
+    assert np.abs(res.transformation - Tgt).max() < 2e-3
+
+
+def test_gicp_pool_path(rng):
+    from cupoch_tpu.geometry import PointCloud
+    from cupoch_tpu.registration import registration_generalized_icp
+    from cupoch_tpu.registration import registration as reg_mod
+
+    m = 25000
+    tgt = _cloud(rng, m)
+    ang = 0.01
+    R = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0],
+                    [0, 0, 1]], np.float32)
+    t = np.float32([0.003, -0.004, 0.002])
+    src = (tgt - t) @ R
+    Tgt = np.eye(4, dtype=np.float32)
+    Tgt[:3, :3] = R
+    Tgt[:3, 3] = t
+    target = PointCloud(jnp.asarray(tgt))
+    source = PointCloud(jnp.asarray(src))
+    assert m > reg_mod._GRID_THRESHOLD
+    res = registration_generalized_icp(source, target, 0.04)
+    assert res.fitness > 0.99
+    assert np.abs(res.transformation - Tgt).max() < 2e-3
+
+
+def test_colored_gicp_interpret_parity(rng):
+    """Pallas (interpret) vs XLA fallback for the two new fused
+    estimator kernels."""
+    from cupoch_tpu.registration.estimation import (
+        TransformationEstimationType as ET,
+    )
+
+    for est_t, est_code in ((ET.ColoredICP, poolgrid.EST_COLORED),
+                            (ET.GeneralizedICP, poolgrid.EST_GICP)):
+        m, n = 3000, 2000
+        tgt = _cloud(rng, m)
+        tn = _normals(rng, m)
+        src = _cloud(rng, n)
+        if est_code == poolgrid.EST_COLORED:
+            tgt_aux = {"intensity": jnp.asarray(
+                rng.uniform(size=m).astype(np.float32)),
+                "gradient": jnp.asarray(
+                rng.normal(size=(m, 3)).astype(np.float32))}
+            src_extra = rng.uniform(size=(n, 1)).astype(np.float32)
+            extra = (np.float32(0.98), np.float32(0.2))
+        else:
+            cov = rng.normal(size=(m, 3, 3)).astype(np.float32)
+            cov = np.einsum("nij,nkj->nik", cov, cov) * 0.01 \
+                + np.eye(3, dtype=np.float32) * 1e-3
+            tgt_aux = {"cov": jnp.asarray(cov)}
+            scov = rng.normal(size=(n, 3, 3)).astype(np.float32)
+            scov = np.einsum("nij,nkj->nik", scov, scov) * 0.01 \
+                + np.eye(3, dtype=np.float32) * 1e-3
+            src_extra = np.asarray(fused_icp.cov_upper6(
+                jnp.asarray(scov)))
+            extra = (np.float32(0.0), np.float32(0.0))
+        attrs, _ = fused_icp.make_target_attrs(
+            est_t, jnp.asarray(tgt), jnp.asarray(tn), tgt_aux)
+        plan = poolgrid.plan_poolgrid(tgt, 0.06, margin=0.25,
+                                      query_points=src, est=est_code)
+        grid = poolgrid.make_poolgrid(
+            jnp.asarray(tgt), attrs, plan["origin"],
+            plan["cell_size"], plan["dims"], plan["cap"], plan["kc"],
+            est=est_code, tile=plan["tile"])
+        qpool, qidx, _ = poolgrid.bin_queries_pool(
+            jnp.asarray(src), jnp.asarray(src), grid.origin,
+            grid.cell_size, grid.dims, plan["qp"], plan["tile"],
+            extra=jnp.asarray(src_extra),
+            n_extra=poolgrid.n_query_extra(est_code))
+        params = poolgrid.make_params(
+            jnp.eye(4, dtype=jnp.float32), jnp.float32(0.06) ** 2,
+            grid, extra[0], extra[1])
+        sx = poolgrid.fused_pool_query(grid, qpool, params, est_code,
+                                       False, use_pallas=False)
+        si = poolgrid.fused_pool_query(grid, qpool, params, est_code,
+                                       False, use_pallas="interpret")
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(sx, 0)), np.asarray(jnp.sum(si, 0)),
+            rtol=3e-5, atol=2e-4)
