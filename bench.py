@@ -2,25 +2,44 @@
 
 Headline metric (BASELINE.json): point-to-plane ICP registration
 frames/s per chip at 1M source points, through the production
-`registration_icp` fast path (run-grid build + fully-fused Pallas ICP
-loop, registration/fused_icp.py). ``vs_baseline`` compares against the
-reference GTX 1070 throughput target (>=2x is the goal). The cupoch
-reference publishes no absolute numbers (BASELINE.md); we use a
-conservative reconstruction of its GTX1070 ICP rate on 1M points
-(~2.5 fps for a full 20-iteration pt2plane ICP including per-iteration
-kd-tree queries) as baseline 1.0.
+fast path (pooled MXU grid build + slot-kernel ICP loop,
+registration/fused_icp.py + knn/poolgrid.py). ``vs_baseline``
+compares against the reference GTX 1070 throughput target (>=2x is
+the goal). The cupoch reference publishes no absolute numbers
+(BASELINE.md); we use a conservative reconstruction of its GTX1070
+ICP rate on 1M points (~2.5 fps for a full 20-iteration pt2plane ICP
+including per-iteration kd-tree queries) as baseline 1.0.
+
+detail.tracking_frames_per_s re-uses one target grid across frames
+(the KinFu/SLAM tracking regime — the reference likewise builds its
+kd-tree once per model update, registration.cu:121).
+
+detail.suite carries the rest of the BASELINE evidence (VERDICT r3
+item 3): fragment.pcd ICP matching the reference's own benchmark
+(examples/python/basic/benchmarks.py:63-83), the FPFH+FGR pipeline
+(config #2), RGB-D odometry + ATE on the bundled sequence (config
+#3), and KinFu frame processing (config #4).
 """
 import json
+import os
 import time
 
 import numpy as np
 
+TESTDATA = "/root/reference/examples/testdata"
 
-def main():
+
+def _sync(x):
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    _ = np.asarray(leaf).ravel()[:1]
+
+
+def bench_headline():
     import jax
     import jax.numpy as jnp
 
-    from cupoch_tpu.knn import rungrid
+    from cupoch_tpu.knn import poolgrid
     from cupoch_tpu.registration import fused_icp
     from cupoch_tpu.registration.estimation import (
         TransformationEstimationType,
@@ -53,24 +72,25 @@ def main():
     T0 = jnp.eye(4, dtype=jnp.float32)
     est = TransformationEstimationType.PointToPlane
     attrs, est_code = fused_icp.make_target_attrs(est, tgt_j, tn_j)
-    # margin 0.375 measured best on this scene (fewer re-bins beat
-    # the larger candidate window once tail gating prunes it)
-    plan = rungrid.plan_rungrid(tgt, 0.05, margin=0.375,
-                                query_points=src,
-                                nch=int(attrs.shape[1]))
+    plan = poolgrid.plan_poolgrid(tgt, 0.05, query_points=src,
+                                  est=est_code)
 
-    # a frame = run-grid build over the target + the full fused ICP
-    # loop (correspondence + in-kernel GN reduction per iteration)
-    def run():
-        grid = rungrid.make_rungrid(
+    def build():
+        return poolgrid.make_poolgrid(
             tgt_j, attrs, plan["origin"], plan["cell_size"],
-            plan["dims"], plan["cap"], mask=mask, est=est_code,
-            kc=plan["kc"])
-        T, idx, fit, rmse, it = fused_icp.icp_core_rungrid(
-            src_j, mask, jnp.zeros_like(src_j), grid, T0,
+            plan["dims"], plan["cap"], plan["kc"], est=est_code,
+            tile=plan["tile"], mask=mask)
+
+    def loop(grid):
+        return fused_icp.icp_core_pool(
+            src_j, mask, jnp.zeros((N, 0), jnp.float32), grid, T0,
             jnp.float32(0.05), plan["rebin_margin"],
             jnp.float32(REL_TOL), jnp.float32(REL_TOL),
-            plan["qcap"], est, ITERS)
+            plan["qp"], est, ITERS)
+
+    # a frame = grid build over the target + the full fused ICP loop
+    def run():
+        T, idx, fit, rmse, it, nq = loop(build())
         return T, fit, rmse, it
 
     # warm-up / compile. NOTE: block_until_ready does not wait for
@@ -85,27 +105,32 @@ def main():
         _ = float(fit)
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    frames_per_s = 1.0 / dt
 
-    # phase breakdown for the report: grid build alone vs full frame
-    # (min of 2 — single-shot timings through the device tunnel are
-    # noisy)
+    # tracking mode: one target grid serves many frames (KinFu/SLAM)
+    grid = build()
+    _sync(grid.pbounds)
+    tt = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        T, idx, fit_t, rmse_t, it_t, _nq = loop(grid)
+        _ = float(fit_t)
+        tt.append(time.perf_counter() - t0)
+    track_dt = min(tt)
+
     build_s = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        g = rungrid.make_rungrid(
-            tgt_j, attrs, plan["origin"], plan["cell_size"],
-            plan["dims"], plan["cap"], mask=mask, est=est_code,
-            kc=plan["kc"])
-        _ = float(jnp.sum(g.bounds[:1]))
+        g = build()
+        _sync(g.pbounds)
         build_s = min(build_s, time.perf_counter() - t0)
 
     baseline_fps = 2.5  # reconstructed GTX1070 full-ICP rate @1M pts
-    print(json.dumps({
+    import jax as _jax
+    return {
         "metric": "icp_pt2plane_1M_frames_per_s",
-        "value": round(frames_per_s, 4),
+        "value": round(1.0 / dt, 4),
         "unit": "frames/s",
-        "vs_baseline": round(frames_per_s / baseline_fps, 3),
+        "vs_baseline": round(1.0 / dt / baseline_fps, 3),
         "detail": {
             "max_iters": ITERS,
             "iters_run": int(it),
@@ -115,10 +140,157 @@ def main():
             "secs_per_frame": round(dt, 4),
             "grid_build_s": round(build_s, 4),
             "icp_loop_s": round(dt - build_s, 4),
+            "tracking_frames_per_s": round(1.0 / track_dt, 4),
             "kc": plan["kc"],
-            "device": str(jax.devices()[0]),
+            "qp": plan["qp"],
+            "tile": plan["tile"],
+            "device": str(_jax.devices()[0]),
         },
-    }))
+    }
+
+
+def bench_suite():
+    """The remaining BASELINE configs; each entry is seconds per run
+    (min of 2 after warmup) or an accuracy number. Failures are
+    recorded as strings rather than aborting the headline."""
+    import jax.numpy as jnp
+
+    suite = {}
+
+    def timed(name, fn, reps=2):
+        try:
+            out = fn()
+            _sync(out)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn()
+                _sync(out)
+                best = min(best, time.perf_counter() - t0)
+            suite[name] = round(best, 4)
+            return out
+        except Exception as e:  # pragma: no cover - defensive bench
+            suite[name] = f"error: {type(e).__name__}: {e}"
+            return None
+
+    # config #1b: the reference's own benchmark cloud
+    # (examples/python/basic/benchmarks.py:63-83 — registration_icp
+    # on fragment.pcd against a 30-degree-rotated copy)
+    frag = os.path.join(TESTDATA, "fragment.pcd")
+    if os.path.exists(frag):
+        from cupoch_tpu import io, registration
+        from cupoch_tpu.geometry import PointCloud
+
+        pcd = io.read_point_cloud(frag)
+        suite["fragment_points"] = len(pcd)
+        a = np.deg2rad(30.0)
+        trans_init = np.asarray(
+            [[np.cos(a), -np.sin(a), 0, 0], [np.sin(a), np.cos(a), 0, 0],
+             [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+        tgt = PointCloud(np.asarray(pcd.points))
+        tgt.transform(trans_init)
+
+        def _frag_icp():
+            return registration.registration_icp(
+                pcd, tgt, 0.02, trans_init,
+                registration.TransformationEstimationPointToPoint()
+            ).transformation
+
+        timed("fragment_icp_pt2pt_s", _frag_icp)
+
+    # config #2: voxel-downsample + FPFH + FGR pipeline
+    def _fgr():
+        from cupoch_tpu.geometry import PointCloud
+        from cupoch_tpu.knn import KDTreeSearchParamHybrid
+        from cupoch_tpu.registration import (
+            FastGlobalRegistrationOption,
+            compute_fpfh_feature,
+            fast_global_registration,
+        )
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(size=(120_000, 3)).astype(np.float32)
+        a = np.deg2rad(20.0)
+        Rz = np.asarray([[np.cos(a), -np.sin(a), 0],
+                         [np.sin(a), np.cos(a), 0], [0, 0, 1]],
+                        np.float32)
+        s = PointCloud(pts).voxel_down_sample(0.02)
+        t = PointCloud(pts @ Rz.T).voxel_down_sample(0.02)
+        s.estimate_normals(KDTreeSearchParamHybrid(0.06, 30))
+        t.estimate_normals(KDTreeSearchParamHybrid(0.06, 30))
+        fs = compute_fpfh_feature(s, KDTreeSearchParamHybrid(0.1, 64))
+        ft = compute_fpfh_feature(t, KDTreeSearchParamHybrid(0.1, 64))
+        return fast_global_registration(
+            s, t, fs, ft, FastGlobalRegistrationOption()).transformation
+
+    timed("fgr_pipeline_s", _fgr, reps=1)
+
+    # config #3: RGB-D odometry + #4: KinFu on the bundled sequence
+    rgbd_dir = os.path.join(TESTDATA, "rgbd")
+    if os.path.exists(rgbd_dir):
+        try:
+            import glob
+
+            from cupoch_tpu import io
+            from cupoch_tpu.camera import PinholeCameraIntrinsic
+            from cupoch_tpu.geometry import RGBDImage
+            from cupoch_tpu.odometry import compute_rgbd_odometry
+
+            intr = io.read_pinhole_camera_intrinsic(
+                os.path.join(TESTDATA, "camera_primesense.json"))
+            colors = sorted(glob.glob(os.path.join(rgbd_dir, "color/*")))
+            depths = sorted(glob.glob(os.path.join(rgbd_dir, "depth/*")))
+            f0 = RGBDImage.create_from_color_and_depth(
+                io.read_image(colors[0]), io.read_image(depths[0]))
+            f1 = RGBDImage.create_from_color_and_depth(
+                io.read_image(colors[1]), io.read_image(depths[1]))
+
+            timed("rgbd_odometry_s",
+                  lambda: compute_rgbd_odometry(f1, f0, intr)[1])
+
+            from cupoch_tpu.kinfu import KinfuOption, KinfuPipeline
+
+            def _kinfu():
+                opt = KinfuOption(num_pyramid_levels=2,
+                                  tsdf_length=4.0, tsdf_resolution=128)
+                pipe = KinfuPipeline(intr, opt)
+                for c, d in zip(colors[:3], depths[:3]):
+                    pipe.process_frame(
+                        RGBDImage.create_from_color_and_depth(
+                            io.read_image(c), io.read_image(d)))
+                return pipe.cur_pose
+
+            timed("kinfu_3frames_s", _kinfu, reps=1)
+        except Exception as e:
+            suite["rgbd"] = f"error: {type(e).__name__}: {e}"
+
+        try:
+            from cupoch_tpu.bench.ate import run_sequence
+
+            t0 = time.perf_counter()
+            ate, nframes = run_sequence(TESTDATA)
+            suite["odometry_ate_m"] = round(float(ate), 4)
+            suite["odometry_ate_frames"] = int(nframes)
+            suite["odometry_ate_total_s"] = round(
+                time.perf_counter() - t0, 2)
+        except Exception as e:
+            suite["odometry_ate_m"] = f"error: {type(e).__name__}: {e}"
+
+    return suite
+
+
+def main():
+    import jax
+
+    try:  # persistent compile cache: keeps driver reruns fast
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
+
+    out = bench_headline()
+    if os.environ.get("BENCH_HEADLINE_ONLY", "") != "1":
+        out["detail"]["suite"] = bench_suite()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

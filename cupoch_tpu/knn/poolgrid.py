@@ -1,51 +1,50 @@
-"""Pooled-query MXU correspondence grid — fourth-generation ICP hot path.
+"""Pooled-query MXU correspondence grid — the ICP hot path.
 
 reference rationale: cupoch's ICP correspondence is a per-query FLANN
 kd-tree walk (knn/kdtree_flann.inl); rounds 1-3 replaced it with dense
-roll grids and the sorted-lane `rungrid`.  Profiling rungrid on a real
-v5e (with the ~24 ms per-dispatch tunnel overhead amortised away)
-showed ~49 ms per ICP iteration at 1M points, ~45 of which are VPU
-passes over the [cells, qcap, KC] score/fetch broadcasts, and a 150 ms
-grid build dominated by a 1728-lane multi-operand sort.
+roll grids and the sorted-lane `rungrid`.  Round-4 profiling on a real
+v5e showed the previous pooled kernel at ~66 ms per ICP iteration for
+1M points — 4% of HBM peak — bound by (a) a 1.9 GB per-pass winner-
+fetch field table DMAed to VMEM whether needed or not, (b) 4096 grid
+steps of fixed per-step cost, and (c) a 3-op VPU (min, argwindow)
+fold.  This revision restructures the pass around the measured v5e
+balance (197 Tbf16 MXU, ~0.8 TB/s HBM):
 
-This module restructures both around the MXU and the measured machine
-balance (v5e: 197 Tbf16 MXU, ~0.8 TB/s HBM, VPU ~4 vreg-ops/cycle):
+1. POOLED QUERIES (kept).  Queries are binned per SUPERTILE of T
+   consecutive z-major cells (T=32 -> the block-diagonal score matmul
+   is an MXU-native [QP,128]@[128,128]) and packed densely with a
+   per-query cell TAG.  Supertiles may wrap (x, y) columns: each
+   cell's candidate lanes are self-contained, and the query rows
+   carry their own bin-time cell centers, so tiling is purely a
+   step-count / gating-granularity knob.
 
-1. POOLED QUERIES.  Queries are binned per TILE of T consecutive
-   z-cells and packed densely with a per-query cell TAG, instead of
-   per-cell [qcap] slots (38% occupancy at bench scale).  Every
-   downstream tensor shrinks by the padding factor (~2.6x).
+2. PACKED SLOT-IN-KEY FOLD.  Per 128-lane window the kernel computes
+   the candidate score v = |c|^2 - 2 e.c as ONE bf16 matmul, then
+   folds key = (bitcast_f32(v + OFF) & ~SLOT_MASK) | slot into a
+   running int32 minimum.  OFF > max |e|^2 keeps v + OFF positive, so
+   the f32 bit pattern orders like the value; the low 12 bits carry
+   the slot id, quantizing scores to ~2^-12 relative (far below the
+   bf16 input noise) and breaking exact ties by slot.  One cross-lane
+   int min then yields the winner's slot directly — no argwindow
+   scratch, no one-hot fetch pass, and the kernel is ESTIMATOR-
+   INDEPENDENT (one compile serves all five estimators + plain
+   correspondence).
 
-2. BLOCK-DIAGONAL MXU SCORE.  The candidate score
-   v = |c|^2 - 2 e.c for every (query, lane) pair is ONE bf16 matmul
-   per 128-lane window: A [QP, 4T] holds each query's (ex, ey, ez, 1)
-   in the 4-column block of its tag; B [4T, 128] stacks the T cells'
-   candidate rows.  The block structure routes each query against its
-   own cell's candidates — scoring rides the MXU at ~100 cycles per
-   window instead of ~500 VPU broadcast ops.
+3. XLA EPILOGUE ON COMPACT TABLES.  slot -> (neighbor run, rank) ->
+   original target index via a [C, cap] cell-index gather; exact f32
+   residuals and the Gauss-Newton reduction come from a [N, F]
+   world-frame per-point field table.  The 27x-duplicated per-window
+   fetch table is gone: per-pass traffic drops from 2.35 GB to the
+   0.47 GB score table plus ~60 MB of gathers.
 
-3. FOLD-MIN + DEFERRED ONE-HOT FETCH.  Per window the kernel keeps
-   only an elementwise running (min, argwindow) pair — no cross-lane
-   trees, no per-window attribute fetch.  After the scan, ONE
-   cross-lane min identifies each query's winner; winner attributes
-   (exact f32 coords, normals, plane offsets, source index) are
-   gathered by a one-hot matmul against a pre-transposed per-window
-   field table, accumulated over the (rarely more than one) windows
-   that contain winners.  Exact d2 is recomputed from the fetched
-   coordinates, so the bf16 score only ever selects, never measures.
-
-4. NO LANE SORT AT BUILD.  Candidate lanes are laid out as 27
-   `jnp.roll` runs in ascending center-offset order; a run (cap<=128
-   lanes) never spans a 128-lane window, so within-run order cannot
-   change window membership and the round-3 sort bought nothing but
-   bound tightness.  Bounds are instead computed EXACTLY per window
-   from candidate distances (valid lower bounds for the best-so-far
-   gate), which removes the dominant build cost outright.
+4. NO LANE SORT AT BUILD (kept).  Candidate lanes are 27 `jnp.roll`
+   runs in ascending center-offset order; per-window distance lower
+   bounds gate whole window blocks against a best-so-far reach test.
 
 Capacity discipline matches the reference's padded-neighbor semantics
 (SURVEY.md 2.2, NUM_MAX_NN in knn/kdtree_search_param.h:26): per-cell
-cap and per-tile query pool are occupancy percentiles; overflow drops
-are COUNTED and returned so callers can surface degradation
+cap and per-supertile query pool are occupancy percentiles; overflow
+drops are COUNTED and returned so callers can surface degradation
 (VERDICT r3 item 9) instead of losing fitness silently.
 """
 from __future__ import annotations
@@ -61,13 +60,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rungrid import (
     EST_NONE, EST_PT2PT, EST_PT2PL, EST_SYM, INVALID_INDEX, RUN_OFFSETS,
-    _gn_terms, N_SUMS,
+    N_SUMS,
 )
 
 BIG = 3.0e18
 WINDOW = 128
 NPARAMS = 32
-LANE_EPS = 2.0e-9   # per-lane score tie-break (see _lane_eps)
+SLOT_BITS = 12            # low mantissa bits of the packed key
+SLOT_MASK = (1 << SLOT_BITS) - 1
 
 # estimator codes beyond rungrid's (values match
 # registration.estimation.TransformationEstimationType)
@@ -80,15 +80,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def n_fields(est: int) -> int:
-    """f32 winner-fetch fields: cx, cy, cz, idx always, then
-    estimator-specific (PT2PL: nx, ny, nz, d_rel; SYM: nx, ny, nz;
-    COLORED: nx, ny, nz, intensity, gx, gy, gz; GICP: cov upper 6)."""
-    return {EST_NONE: 4, EST_PT2PT: 4, EST_PT2PL: 8, EST_SYM: 8,
-            EST_COLORED: 11, EST_GICP: 10}[est]
+    """World-frame per-point field-table width: x, y, z always, then
+    estimator channels (PT2PL: n, d; SYM: n; COLORED: n, intensity,
+    gradient; GICP: cov upper 6)."""
+    return {EST_NONE: 3, EST_PT2PT: 3, EST_PT2PL: 7, EST_SYM: 6,
+            EST_COLORED: 10, EST_GICP: 9}[est]
 
 
 def n_query_extra(est: int) -> int:
-    """Query-side extra channels pooled alongside x, y, z, tag:
+    """Query-side extra channels pooled alongside x, y, z, tag, cc:
     SYM: source normal (3); COLORED: source intensity (1);
     GICP: source covariance upper-triangle (6)."""
     return {EST_NONE: 0, EST_PT2PT: 0, EST_PT2PL: 0, EST_SYM: 3,
@@ -96,7 +96,11 @@ def n_query_extra(est: int) -> int:
 
 
 def query_channels(est: int) -> int:
-    return 12 if n_query_extra(est) > 4 else 8
+    """Pooled row channels: x, y, z, tag, ccx, ccy, ccz, extras...,
+    padded to a multiple of 4 with a floor of 8 (the kernel always
+    reads the first 8)."""
+    used = 7 + n_query_extra(est)
+    return max(8, _round_up(used, 4))
 
 
 # ---------------------------------------------------------------------------
@@ -106,23 +110,27 @@ def query_channels(est: int) -> int:
 class PoolGrid:
     """Pytree; `dims`, `cap`, `kc`, `est`, `tile` static.
 
-    scan    [C*4, KC]          bf16 rows per cell: -2cx, -2cy, -2cz,
-                               |c|^2 (cell-centered; empty |c|^2=BIG)
-    fieldsT [G*NW*128, T*F]    f32 winner-fetch fields; rows ordered
-                               (tile, window, lane); cols (cell, field)
-                               so the one-hot fetch matmul contracts
-                               over window lanes with no padding waste
-    pbounds [G, NW]            min candidate distance per window per
-                               TILE (+inf where empty)
+    scan    [C_pad*4, KC] bf16  rows per cell: -2cx, -2cy, -2cz,
+                                |c|^2 (cell-centered; empty |c|^2=BIG)
+    cellidx [C_pad*cap]   i32   original target index per (cell,
+                                rank) slot, -1 empty
+    fields  [N, F]        f32   world-frame per-point columns
+                                (x, y, z, estimator channels)
+    pbounds [G, NW]       f32   min candidate distance per window per
+                                SUPERTILE (+inf where empty)
+    off     []            f32   key offset (> max |e|^2; 8*cell^2)
     """
 
-    def __init__(self, scan, fieldsT, pbounds, origin, cell_size, dims,
-                 cap, kc, est, tile, n_dropped=None):
+    def __init__(self, scan, cellidx, fields, pbounds, origin,
+                 cell_size, off, dims, cap, kc, est, tile,
+                 n_dropped=None):
         self.scan = scan
-        self.fieldsT = fieldsT
+        self.cellidx = cellidx
+        self.fields = fields
         self.pbounds = pbounds
         self.origin = origin
         self.cell_size = cell_size
+        self.off = off
         self.dims = tuple(int(d) for d in dims)
         self.cap = int(cap)
         self.kc = int(kc)
@@ -135,21 +143,28 @@ class PoolGrid:
         return self.kc // WINDOW
 
     @property
-    def n_tiles(self) -> int:
+    def n_cells(self) -> int:
         d = self.dims
-        return d[0] * d[1] * d[2] // self.tile
+        return d[0] * d[1] * d[2]
+
+    @property
+    def n_tiles(self) -> int:
+        """Supertiles covered by THIS grid's scan rows (a shard's
+        count when the scan leaf is a ring shard)."""
+        return self.scan.shape[0] // (4 * self.tile)
 
 
 def _poolgrid_flatten(g):
-    return ((g.scan, g.fieldsT, g.pbounds, g.origin, g.cell_size,
-             g.n_dropped),
+    return ((g.scan, g.cellidx, g.fields, g.pbounds, g.origin,
+             g.cell_size, g.off, g.n_dropped),
             (g.dims, g.cap, g.kc, g.est, g.tile))
 
 
 def _poolgrid_unflatten(aux, leaves):
-    scan, fieldsT, pbounds, origin, cell_size, n_dropped = leaves
-    return PoolGrid(scan, fieldsT, pbounds, origin, cell_size,
-                    *aux, n_dropped=n_dropped)
+    (scan, cellidx, fields, pbounds, origin, cell_size, off,
+     n_dropped) = leaves
+    return PoolGrid(scan, cellidx, fields, pbounds, origin, cell_size,
+                    off, *aux, n_dropped=n_dropped)
 
 
 jax.tree_util.register_pytree_node(PoolGrid, _poolgrid_flatten,
@@ -167,8 +182,10 @@ def plan_poolgrid(points: np.ndarray, radius: float,
                   max_cells: int = 2_000_000,
                   cap_limit: int = 128,
                   mem_budget_bytes: int = 6 << 30,
-                  tile: int = 8,
-                  est: int = EST_NONE) -> Optional[dict]:
+                  tile: int = 32,
+                  qp_limit: int = 8192,
+                  est: int = EST_NONE,
+                  shards: int = 1) -> Optional[dict]:
     """Host sizing. Returns None when a dense grid is unreasonable.
 
     cell = radius*(1+margin): queries binned at transform T_bin stay
@@ -182,11 +199,7 @@ def plan_poolgrid(points: np.ndarray, radius: float,
     hi = pts[finite].max(0).astype(np.float64)
     cell = float(radius) * (1.0 + float(margin))
     dims_core = np.maximum(1, np.ceil((hi - lo) / cell + 1e-6).astype(int))
-    dims = [int(d) + 2 for d in dims_core]
-    # tiles are runs of `tile` consecutive linear (z-major) cells; pad
-    # Gz so a tile never crosses a z-column boundary
-    dims[2] = _round_up(dims[2], tile)
-    dims = tuple(dims)
+    dims = tuple(int(d) + 2 for d in dims_core)
     n_cells = int(np.prod(dims))
     if n_cells > max_cells:
         return None
@@ -205,8 +218,9 @@ def plan_poolgrid(points: np.ndarray, radius: float,
         return None
     cap = max(8, _round_up(cap, 8))
     kc = _round_up(27 * cap, WINDOW)
-    # query pool capacity per tile (tile covers `tile` z-cells + the
-    # guard ring maps in-bounds queries only)
+    assert 27 * cap <= SLOT_MASK + 1
+    c_pad = _round_up(n_cells, tile * shards)
+    # query pool capacity per supertile of `tile` z-major cells
     qp = 16 * tile
     if query_points is not None:
         qpn = np.asarray(query_points)
@@ -218,21 +232,24 @@ def plan_poolgrid(points: np.ndarray, radius: float,
                 lin = (qc[inb, 0] * dims[1] + qc[inb, 1]) * dims[2] \
                     + qc[inb, 2]
                 tcnt = np.bincount(lin // tile,
-                                   minlength=n_cells // tile)
+                                   minlength=c_pad // tile)
                 tocc = tcnt[tcnt > 0]
                 if tocc.size:
                     qp = int(np.percentile(tocc, cap_percentile))
-        qp = _round_up(int(qp * 1.2) + 8, 8)
-    qp = max(qp, 8)
+        qp = int(qp * 1.2) + 8
+    qp = _round_up(max(qp, 8), 128 if qp > 128 else 8)
+    if qp > qp_limit:
+        return None
     F = n_fields(est)
-    grid_bytes = n_cells * kc * (4 * 2 + F * 4) + \
-        (n_cells // tile) * (kc // WINDOW) * 4
+    npts = int(finite.sum())
+    grid_bytes = c_pad * 4 * kc * 2 + c_pad * cap * 4 + npts * F * 4 \
+        + (c_pad // tile) * (kc // WINDOW) * 4
     if grid_bytes > mem_budget_bytes:
         return None
     origin = (lo - cell).astype(np.float32)
     return {
         "dims": dims, "origin": origin, "cap": cap, "kc": int(kc),
-        "qp": int(qp), "tile": int(tile),
+        "qp": int(qp), "tile": int(tile), "shards": int(shards),
         "cell_size": np.float32(cell),
         "rebin_margin": np.float32(float(radius) * float(margin)),
     }
@@ -265,8 +282,9 @@ def _cell_key(points, origin, cell_size, dims, n_bins_div, mask=None):
 
 def _bin_to_slots(key, n_bins: int, cap: int, channels, fill):
     """Sort by key, rank within bin (key//64), scatter channels to
-    [n_bins, cap] slots. Returns (outs, index [n_bins, cap] int32,
-    n_dropped)."""
+    [n_bins, cap] slots. Payload channels ride THROUGH the sort
+    network (a post-sort 1D take is the slow path on TPU). Returns
+    (outs, index [n_bins, cap] int32, n_dropped)."""
     N = key.shape[0]
     pos = jnp.arange(N, dtype=jnp.int32)
     ops = jax.lax.sort((key, pos) + tuple(channels), num_keys=1,
@@ -307,56 +325,37 @@ def cell_centers(dims, origin, cell_size, C: int):
 # build
 # ---------------------------------------------------------------------------
 
-def _est_field_channels(est: int, points, attrs, cen):
-    """Per-point estimator field channels (beyond coords + idx).
-    PT2PL: attrs [N,4] = (normal, d = n.p); d re-centered per cell so
-    the kernel residual n.e - d_rel equals world-frame n.q - d.
-    COLORED: attrs [N,7] = (normal, intensity, color gradient).
-    GICP: attrs [N,6] = covariance upper triangle."""
-    if est == EST_PT2PL:
-        n0, n1, n2, d = (attrs[:, i] for i in range(4))
-        d_rel = d - (n0 * cen[:, 0] + n1 * cen[:, 1] + n2 * cen[:, 2])
-        return [n0, n1, n2, d_rel]
-    if est == EST_SYM:
-        return [attrs[:, 0], attrs[:, 1], attrs[:, 2],
-                jnp.zeros(points.shape[0], jnp.float32)]
-    if est == EST_COLORED:
-        return [attrs[:, i] for i in range(7)]
-    if est == EST_GICP:
-        return [attrs[:, i] for i in range(6)]
-    return []
-
-
-@partial(jax.jit, static_argnames=("dims", "cap", "kc", "est", "tile"))
+@partial(jax.jit, static_argnames=("dims", "cap", "kc", "est", "tile",
+                                   "shards"))
 def build_poolgrid_arrays(points, attrs, origin, cell_size,
                           dims: Tuple[int, int, int], cap: int,
-                          kc: int, est: int, tile: int, mask=None):
-    """Bin targets once, assemble the 27-run neighborhood with
-    `jnp.roll` (no gathers, no lane sort), fold per-run center offsets
-    into the coordinates, and lay out (a) bf16 scan rows for the MXU
-    score, (b) f32 per-window transposed fetch fields, (c) exact
-    per-window distance lower bounds.
+                          kc: int, est: int, tile: int, mask=None,
+                          shards: int = 1):
+    """Bin targets once, assemble the 27-run neighborhood for the
+    COORDINATE score table only with `jnp.roll` (no gathers, no lane
+    sort), and keep everything else compact: a [C, cap] original-index
+    table and a [N, F] world-frame field table consumed by the XLA
+    epilogue after the kernel has picked winners.
 
     reference: the grid replaces kdtree_flann.inl's per-query
     traversal; padded-slot capacity semantics follow NUM_MAX_NN
     (kdtree_search_param.h:26) with dropped counts surfaced."""
     Gx, Gy, Gz = dims
     C = Gx * Gy * Gz
-    G = C // tile
+    C_pad = _round_up(C, tile * shards)
+    G = C_pad // tile
     NW = kc // WINDOW
-    F = n_fields(est)
     key, lin, _ = _cell_key(points, origin, cell_size, dims, 1, mask)
     linc = jnp.clip(lin, 0, C - 1)
-    cen_all = cell_centers(dims, origin, cell_size, C)
-    cen = cen_all[linc]
+    cen = cell_centers(dims, origin, cell_size, C)[linc]
     pc = points - cen
-    fields = _est_field_channels(est, points, attrs, cen)
-    channels = [pc[:, 0], pc[:, 1], pc[:, 2]] + fields
-    fill = [jnp.float32(np.inf)] * 3 + [jnp.float32(0.0)] * len(fields)
-    binned, index, n_dropped = _bin_to_slots(key, C, cap, channels,
-                                             fill)
-    idx_f = index.astype(jnp.float32)  # exact for N < 2^24; empty -1
+    binned, index, n_dropped = _bin_to_slots(
+        key, C, cap, [pc[:, 0], pc[:, 1], pc[:, 2]],
+        [jnp.float32(np.inf)] * 3)
 
+    # 27-run neighborhood as rolls (NOT a flat gather: XLA TPU lowers
+    # a 56M-element 1D take to a scalar-at-a-time loop that runs for
+    # minutes; rolls are pure strided copies)
     def rolled(arr2d):
         a = arr2d.reshape(Gx, Gy, Gz, cap)
         parts = []
@@ -366,22 +365,11 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
         return jnp.concatenate(parts, -1)
 
     cx, cy, cz = (rolled(binned[i]) for i in range(3))
-    fch = [rolled(binned[3 + i]) for i in range(len(fields))]
-    idx_r = rolled(idx_f)
-
     offs = np.asarray(RUN_OFFSETS, np.float32)
     lane_off = jnp.repeat(jnp.asarray(offs), cap, axis=0)  # [27*cap,3]
     cx = cx + lane_off[None, :, 0] * cell_size
     cy = cy + lane_off[None, :, 1] * cell_size
     cz = cz + lane_off[None, :, 2] * cell_size
-    if est == EST_PT2PL:
-        # d was re-centered to the SOURCE cell; shift to the consumer
-        # row's center: d_row = d_src - n.(c_row - c_src)
-        #             = d_src + n.(lane_off*cell)  [c_src = c_row+off]
-        fch[3] = fch[3] + cell_size * (
-            fch[0] * lane_off[None, :, 0]
-            + fch[1] * lane_off[None, :, 1]
-            + fch[2] * lane_off[None, :, 2])
 
     empty = ~jnp.isfinite(cx)
     zero = jnp.zeros_like(cx)
@@ -389,7 +377,6 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
     cn = jnp.where(empty, jnp.float32(BIG),
                    cx * cx + cy * cy + cz * cz)
     dist = jnp.where(empty, jnp.float32(np.inf), jnp.sqrt(cn))
-    idx_r = jnp.where(empty, jnp.float32(INVALID_INDEX), idx_r)
 
     pad = kc - 27 * cap
     if pad:
@@ -398,69 +385,83 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
         cx, cy, cz = padk(cx, 0), padk(cy, 0), padk(cz, 0)
         cn = padk(cn, BIG)
         dist = padk(dist, np.inf)
-        idx_r = padk(idx_r, float(INVALID_INDEX))
-        fch = [padk(a, 0) for a in fch]
 
-    # (a) scan rows, bf16, interleaved per cell
+    # (a) scan rows, bf16, interleaved per cell; phantom pad cells
+    # beyond C are zero (gated by +inf pbounds and owning no queries)
     scan = jnp.stack([-2.0 * cx, -2.0 * cy, -2.0 * cz, cn], 1) \
         .astype(jnp.bfloat16).reshape(C * 4, kc)
+    scan = jnp.pad(scan, ((0, (C_pad - C) * 4), (0, 0)))
 
-    # (b) fetch fields, f32, transposed per (tile, window):
-    # rows (tile, window, lane), cols (cell-in-tile, field)
-    f_all = jnp.stack([cx, cy, cz, idx_r] + fch
-                      + [jnp.zeros_like(cx)] * (F - 4 - len(fch)), 1)
-    fT = f_all.reshape(G, tile, F, NW, WINDOW) \
-        .transpose(0, 3, 4, 1, 2).reshape(G * NW * WINDOW, tile * F)
+    # (b) compact slot->original-index table
+    cellidx = jnp.pad(index.reshape(-1), (0, (C_pad - C) * cap),
+                      constant_values=INVALID_INDEX)
 
-    # (c) exact per-window bounds, pooled per tile
+    # (c) world-frame per-point fields for the epilogue
+    fields = jnp.concatenate([points, attrs], -1) \
+        .astype(jnp.float32) if attrs.shape[1] else \
+        points.astype(jnp.float32)
+
+    # (d) exact per-window bounds, pooled per supertile
     wmin = jnp.min(dist.reshape(C, NW, WINDOW), -1)
+    wmin = jnp.pad(wmin, ((0, C_pad - C), (0, 0)),
+                   constant_values=np.inf)
     pbounds = jnp.min(wmin.reshape(G, tile, NW), 1)
-    return scan, fT, pbounds, n_dropped
+
+    off = 8.0 * cell_size * cell_size
+    return scan, cellidx, fields, pbounds, off, n_dropped
 
 
 def make_poolgrid(points, attrs, origin, cell_size, dims, cap, kc,
-                  est: int = EST_NONE, tile: int = 8,
-                  mask=None) -> PoolGrid:
-    scan, fT, pbounds, n_dropped = build_poolgrid_arrays(
-        points, attrs, jnp.asarray(origin, jnp.float32),
-        jnp.asarray(cell_size, jnp.float32), tuple(dims), int(cap),
-        int(kc), int(est), int(tile), mask=mask)
-    return PoolGrid(scan, fT, pbounds,
+                  est: int = EST_NONE, tile: int = 32,
+                  mask=None, shards: int = 1) -> PoolGrid:
+    scan, cellidx, fields, pbounds, off, n_dropped = \
+        build_poolgrid_arrays(
+            points, attrs, jnp.asarray(origin, jnp.float32),
+            jnp.asarray(cell_size, jnp.float32), tuple(dims),
+            int(cap), int(kc), int(est), int(tile), mask=mask,
+            shards=int(shards))
+    return PoolGrid(scan, cellidx, fields, pbounds,
                     jnp.asarray(origin, jnp.float32),
-                    jnp.asarray(cell_size, jnp.float32), tuple(dims),
-                    int(cap), int(kc), int(est), int(tile),
-                    n_dropped=n_dropped)
+                    jnp.asarray(cell_size, jnp.float32), off,
+                    tuple(dims), int(cap), int(kc), int(est),
+                    int(tile), n_dropped=n_dropped)
 
 
 # ---------------------------------------------------------------------------
 # query-side pooling
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("dims", "qp", "tile", "n_extra"))
+@partial(jax.jit, static_argnames=("dims", "qp", "tile", "n_extra",
+                                   "shards"))
 def bin_queries_pool(points, bin_positions, origin, cell_size,
                      dims: Tuple[int, int, int], qp: int, tile: int,
-                     extra=None, n_extra: int = 0, mask=None):
-    """Pool queries per tile of `tile` consecutive z-cells.
+                     extra=None, n_extra: int = 0, mask=None,
+                     shards: int = 1):
+    """Pool queries per supertile of `tile` consecutive z-major cells.
 
-    Returns (qpool [G, CH, QP] f32 rows (x, y, z, tagf, extra..., 0),
-    qidx [G, QP] int32 (-1 empty), n_dropped). CH = 8, or 12 when
-    more than 4 extra channels ride along (GICP covariances). Queries
-    keep ORIGINAL coords; binned by `bin_positions` (position under
-    the binning transform). tagf = cell-within-tile, -1 empty."""
+    Returns (qpool [G, CH, QP] f32 rows (x, y, z, tagf, ccx, ccy,
+    ccz, extra..., 0), qidx [G, QP] int32 (-1 empty), n_dropped).
+    CH per `query_channels`. Queries keep ORIGINAL coords; binned by
+    `bin_positions` (position under the binning transform); cc is the
+    bin-time cell center so the kernel needs no cell-index
+    arithmetic. tagf = cell-within-supertile, -1 empty."""
     C = dims[0] * dims[1] * dims[2]
-    G = C // tile
+    C_pad = _round_up(C, tile * shards)
+    G = C_pad // tile
     key, lin, inb = _cell_key(bin_positions, origin, cell_size, dims,
                               tile, mask)
-    # rank within TILE but keep tag = cell-within-tile per query
     tagf = jnp.where(inb, (lin % tile).astype(jnp.float32), -1.0)
-    channels = [points[:, 0], points[:, 1], points[:, 2], tagf]
+    cc = cell_centers(dims, origin, cell_size, C)[
+        jnp.clip(lin, 0, C - 1)]
+    channels = [points[:, 0], points[:, 1], points[:, 2], tagf,
+                cc[:, 0], cc[:, 1], cc[:, 2]]
     for i in range(n_extra):
         channels.append(extra[:, i])
     fill = [jnp.float32(0.0)] * 3 + [jnp.float32(-1.0)] + \
-        [jnp.float32(0.0)] * n_extra
+        [jnp.float32(0.0)] * (3 + n_extra)
     binned, index, n_dropped = _bin_to_slots(key, G, qp, channels,
                                              fill)
-    CH = 12 if n_extra > 4 else 8
+    CH = max(8, _round_up(7 + n_extra, 4))
     rows = binned + [jnp.zeros((G, qp), jnp.float32)] * (
         CH - len(binned))
     qpool = jnp.stack(rows[:CH], 1)
@@ -472,29 +473,231 @@ def bin_queries_pool(points, bin_positions, origin, cell_size,
 # ---------------------------------------------------------------------------
 
 def make_params(T, r2, grid: PoolGrid, extra0=0.0, extra1=0.0):
-    """[NPARAMS] f32: R row-major (0-8), t (9-11), r^2 (12), origin
-    (13-15), cell_size (16), estimator extras (17-18: Colored ICP's
-    sqrt lambda_geometric / sqrt lambda_photometric), spare."""
+    """[NPARAMS] f32: R row-major (0-8), t (9-11), r^2 (12), key
+    offset OFF (13), estimator extras (17-18: Colored ICP's sqrt
+    lambda_geometric / sqrt lambda_photometric), spare."""
     R = T[:3, :3].reshape(-1)
     t = T[:3, 3]
     head = jnp.concatenate([
         R, t, jnp.asarray(r2, jnp.float32).reshape(1),
-        jnp.asarray(grid.origin, jnp.float32).reshape(3),
-        jnp.asarray(grid.cell_size, jnp.float32).reshape(1),
+        jnp.asarray(grid.off, jnp.float32).reshape(1),
+        jnp.zeros(3, jnp.float32),
         jnp.asarray(extra0, jnp.float32).reshape(1),
         jnp.asarray(extra1, jnp.float32).reshape(1)])
     return jnp.concatenate([
         head, jnp.zeros(NPARAMS - head.shape[0], jnp.float32)])
 
 
+def _scan_blocks(NW: int, prefix: int, n_tail: int):
+    """Window block structure: `prefix` unconditional windows, then
+    the tail split into up to n_tail gated blocks."""
+    blocks = []
+    lo = prefix
+    if NW > lo:
+        step = _round_up(-(-(NW - lo) // n_tail), 1)
+        while lo < NW:
+            hi = min(lo + step, NW)
+            blocks.append((lo, hi))
+            lo = hi
+    return blocks
+
+
+def _make_slim_kernel(T: int, QP: int, KC: int, gb: int,
+                      prefix: int = 2, n_tail: int = 3):
+    NW = KC // WINDOW
+
+    def kern(p_ref, q_ref, c_ref, b_ref, out_ref, acc):
+        i = pl.program_id(0)
+        R00, R01, R02 = p_ref[0, 0], p_ref[0, 1], p_ref[0, 2]
+        R10, R11, R12 = p_ref[0, 3], p_ref[0, 4], p_ref[0, 5]
+        R20, R21, R22 = p_ref[0, 6], p_ref[0, 7], p_ref[0, 8]
+        t0, t1, t2 = p_ref[0, 9], p_ref[0, 10], p_ref[0, 11]
+        r2 = p_ref[0, 12]
+        off = p_ref[0, 13]
+
+        qt = q_ref[:, :].T                    # [QP, 8]
+        qx, qy, qz = qt[:, 0:1], qt[:, 1:2], qt[:, 2:3]
+        tag = qt[:, 3:4]
+        valid = tag >= 0.0
+        tx = R00 * qx + R01 * qy + R02 * qz + t0
+        ty = R10 * qx + R11 * qy + R12 * qz + t1
+        tz = R20 * qx + R21 * qy + R22 * qz + t2
+        ex = tx - qt[:, 4:5]
+        ey = ty - qt[:, 5:6]
+        ez = tz - qt[:, 6:7]
+        qn = ex * ex + ey * ey + ez * ez
+        dqc = jnp.sqrt(qn)
+
+        # block-diagonal query matrix A [QP, 4T]
+        colid = jax.lax.broadcasted_iota(jnp.int32, (QP, 4 * T), 1)
+        tcol = (colid >> 2).astype(jnp.float32)
+        j = colid & 3
+        val = jnp.where(j == 0, ex, jnp.where(j == 1, ey,
+                        jnp.where(j == 2, ez, 1.0)))
+        A = jnp.where(tag == tcol, val, 0.0).astype(jnp.bfloat16)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (QP, WINDOW), 1)
+
+        def fold(w):
+            B = c_ref[:, w * WINDOW:(w + 1) * WINDOW]
+            v = jax.lax.dot_general(
+                A, B, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + off
+            key = (jax.lax.bitcast_convert_type(v, jnp.int32)
+                   & ~SLOT_MASK) | (w * WINDOW + lanes)
+            if w == 0:
+                acc[:] = key
+            else:
+                acc[:] = jnp.minimum(acc[:], key)
+
+        for w in range(min(prefix, NW)):
+            fold(w)
+        blocks = _scan_blocks(NW, prefix, n_tail)
+        if blocks:
+            m0 = jnp.min(acc[:], -1, keepdims=True)
+            v0 = jax.lax.bitcast_convert_type(
+                m0 & ~SLOT_MASK, jnp.float32) - off
+            bd0 = jnp.sqrt(jnp.maximum(jnp.minimum(v0 + qn, r2), 0.0))
+            reach = jnp.where(valid, bd0 + dqc, -1.0)
+        for (blo, bhi) in blocks:
+            bmin = b_ref[0, blo]
+            for w in range(blo + 1, bhi):
+                bmin = jnp.minimum(bmin, b_ref[0, w])
+            need = jnp.any(reach >= bmin)
+
+            @pl.when(need)
+            def _(blo=blo, bhi=bhi):
+                for w in range(blo, bhi):
+                    fold(w)
+
+        m = jnp.min(acc[:], -1)               # [QP] winning key
+        slot = (m & SLOT_MASK).astype(jnp.float32)
+        r = i % gb
+        out_ref[pl.ds(r, 1), :] = slot[None, :]
+
+    return kern
+
+
+def _slot_pallas(grid: PoolGrid, qpool, params, interpret: bool):
+    G, CH, QP = qpool.shape
+    KC = grid.kc
+    T = grid.tile
+    NW = grid.n_windows
+    gb = min(8, G)
+    kern = _make_slim_kernel(T, QP, KC, gb)
+    return pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, NPARAMS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 8, QP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * T, KC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, NW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, QP), lambda i: (i // gb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, QP), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((QP, WINDOW), jnp.int32)],
+        interpret=interpret,
+    )(params.reshape(1, NPARAMS), qpool, grid.scan,
+      grid.pbounds.reshape(G, 1, NW))
+
+
+def _slot_xla(grid: PoolGrid, qpool, params):
+    """Bit-exact XLA mirror of the kernel's packed-key selection
+    (CPU tests / non-TPU fallback). No window gating — gating is
+    conservative, so results match."""
+    G, CH, QP = qpool.shape
+    KC = grid.kc
+    T = grid.tile
+    C_pad = grid.scan.shape[0] // 4
+    R = params[:9].reshape(3, 3)
+    t = params[9:12]
+    off = params[13]
+    tag = qpool[:, 3, :]
+    step = jnp.arange(G, dtype=jnp.int32)[:, None]
+    cell = jnp.minimum(step * T + jnp.clip(tag, 0.0).astype(jnp.int32),
+                       C_pad - 1)
+    q = jnp.stack([qpool[:, 0, :], qpool[:, 1, :], qpool[:, 2, :]],
+                  -1)
+    cc = jnp.stack([qpool[:, 4, :], qpool[:, 5, :], qpool[:, 6, :]],
+                   -1)
+    tq = q @ R.T + t
+    e = tq - cc                               # [G, QP, 3]
+    A = jnp.concatenate([e, jnp.ones_like(e[..., :1])], -1) \
+        .astype(jnp.bfloat16)                 # [G, QP, 4]
+    rows = grid.scan.reshape(C_pad, 4, KC)[cell]   # [G, QP, 4, KC]
+    v = jax.lax.dot_general(
+        A[:, :, None, :], rows,
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)[:, :, 0, :] + off
+    slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, KC), 2)
+    key = (jax.lax.bitcast_convert_type(v, jnp.int32)
+           & ~SLOT_MASK) | slots
+    m = jnp.min(key, -1)
+    return (m & SLOT_MASK).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# epilogue: slot -> exact residuals / GN reduction on compact tables
+# ---------------------------------------------------------------------------
+
+def _gn_terms_world(est: int, f, tx, ty, tz, px, py, pz, q_extra,
+                    R9, slg, slp, ok, d2c):
+    """GN sum terms from world-frame quantities. f: gathered field
+    columns beyond coordinates; q_extra: pooled query extra channels.
+    Slot layout matches rungrid's N_SUMS comment."""
+    w = ok.astype(jnp.float32)
+    if est in (EST_NONE, EST_PT2PT):
+        terms = [w, w * tx, w * ty, w * tz, w * px, w * py, w * pz]
+        for s in (tx, ty, tz):
+            for d in (px, py, pz):
+                terms.append(w * s * d)
+        terms.append(d2c)
+        return terms
+    if est in (EST_COLORED, EST_GICP):
+        return _gn_terms_ext(est, f, tx, ty, tz, tx - px, ty - py,
+                             tz - pz, q_extra, R9, slg, slp, ok, d2c)
+    if est == EST_PT2PL:
+        nx, ny, nz, dd = f[0], f[1], f[2], f[3]
+        r = nx * tx + ny * ty + nz * tz - dd
+        j = (ty * nz - tz * ny, tz * nx - tx * nz, tx * ny - ty * nx,
+             nx, ny, nz)
+    elif est == EST_SYM:
+        nx, ny, nz = f[0], f[1], f[2]
+        s0, s1, s2 = q_extra[0], q_extra[1], q_extra[2]
+        R00, R01, R02, R10, R11, R12, R20, R21, R22 = R9
+        mx = nx + R00 * s0 + R01 * s1 + R02 * s2
+        my = ny + R10 * s0 + R11 * s1 + R12 * s2
+        mz = nz + R20 * s0 + R21 * s1 + R22 * s2
+        r = (tx - px) * mx + (ty - py) * my + (tz - pz) * mz
+        ux, uy, uz = tx + px, ty + py, tz + pz
+        j = (uy * mz - uz * my, uz * mx - ux * mz, ux * my - uy * mx,
+             mx, my, mz)
+    else:
+        raise ValueError(est)
+    terms = []
+    for i in range(6):
+        for k in range(i, 6):
+            terms.append(w * j[i] * j[k])          # 21 JTJ upper-tri
+    for i in range(6):
+        terms.append(w * j[i] * r)                 # 6 JTr
+    terms.append(w)                                # 27: count
+    terms.append(d2c)                              # 28: err
+    return terms
+
+
 def _gn_terms_ext(est: int, f, tx, ty, tz, dx, dy, dz, q_extra,
                   R9, slg, slp, ok, d2c):
     """GN sum terms for the Colored ICP / GICP estimators.
 
-    f: fetched field columns beyond (coords, idx); d* = q - p (world
-    residual, exact since both are in the same cell frame); q_extra:
-    pooled query extras (source intensity / covariance); R9: rotation
-    scalars for rotating the source covariance.
+    f: gathered field columns beyond coords; d* = q - p (world
+    residual); q_extra: pooled query extras (source intensity /
+    covariance); R9: rotation scalars for rotating the source
+    covariance.
 
     reference: compute_jacobian_and_residual_functor
     (colored_icp.cu:150-216) and the Mahalanobis plane-to-plane step
@@ -591,353 +794,94 @@ def _gn_terms_ext(est: int, f, tx, ty, tz, dx, dy, dz, q_extra,
     raise ValueError(est)
 
 
-def _lane_eps(w: int):
-    """Per-lane score perturbation making window-local ties distinct
-    (one-hot fetch sums exactly one lane per query)."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
-    return (w * WINDOW + lanes).astype(jnp.float32) * LANE_EPS
+def _epilogue(grid: PoolGrid, qpool, slotf, params, est: int,
+              corres: bool, tile0=0):
+    """slot id -> original target index -> exact residuals; then
+    either the per-query correspondence pair or the fully-reduced GN
+    sums. All gathers are against compact tables ([C, cap] index,
+    [N, F] fields). `tile0` is the GLOBAL supertile index of local
+    row 0 — nonzero when the kernel ran on a rotated grid shard
+    (parallel/sharded.py ring): cellidx/fields stay globally
+    indexed."""
+    G, CH, QP = qpool.shape
+    T = grid.tile
+    Gx, Gy, Gz = grid.dims
+    C = Gx * Gy * Gz
+    cap = grid.cap
+    R = params[:9].reshape(3, 3)
+    t = params[9:12]
+    r2 = params[12]
 
-
-def _scan_blocks(NW: int, prefix: int, n_tail: int):
-    """Window block structure: `prefix` unconditional windows, then
-    the tail split into up to n_tail gated blocks."""
-    blocks = []
-    lo = prefix
-    if NW > lo:
-        step = _round_up(-(-(NW - lo) // n_tail), 1)
-        while lo < NW:
-            hi = min(lo + step, NW)
-            blocks.append((lo, hi))
-            lo = hi
-    return blocks
-
-
-def _make_pool_kernel(est: int, T: int, QP: int, KC: int, dims,
-                      corres: bool, F: int, prefix: int = 2,
-                      n_tail: int = 3):
-    NW = KC // WINDOW
-    Gz = dims[2]
-    n_sums = N_SUMS
-
-    def kern(p_ref, q_ref, c_ref, ft_ref, b_ref, *out_and_scratch):
-        n_out = 2 if corres else 1
-        outs = out_and_scratch[:n_out]
-        acc = out_and_scratch[n_out]
-        wwin = out_and_scratch[n_out + 1]
-        fa = out_and_scratch[n_out + 2]
-        i = pl.program_id(0)
-        R00, R01, R02 = p_ref[0, 0], p_ref[0, 1], p_ref[0, 2]
-        R10, R11, R12 = p_ref[0, 3], p_ref[0, 4], p_ref[0, 5]
-        R20, R21, R22 = p_ref[0, 6], p_ref[0, 7], p_ref[0, 8]
-        t0, t1, t2 = p_ref[0, 9], p_ref[0, 10], p_ref[0, 11]
-        r2 = p_ref[0, 12]
-        ox, oy, oz = p_ref[0, 13], p_ref[0, 14], p_ref[0, 15]
-        cell = p_ref[0, 16]
-
-        # tile covers linear cells [i*T, (i+1)*T): constant x, y and
-        # consecutive z (Gz % T == 0 by plan)
-        lin0 = i * T
-        zb = (lin0 % Gz).astype(jnp.float32)
-        yb = ((lin0 // Gz) % dims[1]).astype(jnp.float32)
-        xb = (lin0 // (Gz * dims[1])).astype(jnp.float32)
-        ccx = ox + (xb + 0.5) * cell
-        ccy = oy + (yb + 0.5) * cell
-
-        # queries: [8, QP] -> transpose to [QP, 1] columns
-        qt = q_ref[:, :].T                    # [QP, 8]
-        qx = qt[:, 0:1]
-        qy = qt[:, 1:2]
-        qz = qt[:, 2:3]
-        tag = qt[:, 3:4]
-        valid = tag >= 0.0
-        tx = R00 * qx + R01 * qy + R02 * qz + t0
-        ty = R10 * qx + R11 * qy + R12 * qz + t1
-        tz = R20 * qx + R21 * qy + R22 * qz + t2
-        ccz = oz + (zb + jnp.maximum(tag, 0.0) + 0.5) * cell
-        ex = tx - ccx
-        ey = ty - ccy
-        ez = tz - ccz
-        qn = ex * ex + ey * ey + ez * ez
-        dqc = jnp.sqrt(qn)
-
-        # block-diagonal query matrix A [QP, 4T]
-        colid = jax.lax.broadcasted_iota(jnp.int32, (QP, 4 * T), 1)
-        tcol = (colid >> 2).astype(jnp.float32)
-        j = colid & 3
-        val = jnp.where(j == 0, ex, jnp.where(j == 1, ey,
-                        jnp.where(j == 2, ez, 1.0)))
-        A = jnp.where(tag == tcol, val, 0.0).astype(jnp.bfloat16)
-
-        def score(w):
-            B = c_ref[:, w * WINDOW:(w + 1) * WINDOW]
-            v = jax.lax.dot_general(
-                A, B, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return v + _lane_eps(w)
-
-        def fold(w):
-            v = score(w)
-            if w == 0:
-                acc[:] = v
-                wwin[:] = jnp.zeros((QP, WINDOW), jnp.float32)
-            else:
-                upd = v < acc[:]
-                acc[:] = jnp.where(upd, v, acc[:])
-                wwin[:] = jnp.where(upd, float(w), wwin[:])
-
-        for w in range(min(prefix, NW)):
-            fold(w)
-        blocks = _scan_blocks(NW, prefix, n_tail)
-        if blocks:
-            m0 = jnp.min(acc[:], -1, keepdims=True)
-            bd0 = jnp.sqrt(jnp.maximum(jnp.minimum(m0 + qn, r2), 0.0))
-            reach = jnp.where(valid, bd0 + dqc, -1.0)
-        for (blo, bhi) in blocks:
-            bmin = b_ref[0, blo]
-            for w in range(blo + 1, bhi):
-                bmin = jnp.minimum(bmin, b_ref[0, w])
-            need = jnp.any(reach >= bmin)
-
-            @pl.when(need)
-            def _(blo=blo, bhi=bhi):
-                for w in range(blo, bhi):
-                    fold(w)
-
-        m = jnp.min(acc[:], -1, keepdims=True)
-
-        # deferred winner fetch: one-hot (recomputed score == m)
-        # against the pre-transposed field table, accumulated over the
-        # windows that hold winners (fa scratch persists across the
-        # pl.when blocks; winner is one-hot by the lane-eps tie-break).
-        # Output columns are (cell, field); the query's own cell is
-        # selected by tag afterwards, so the one-hot needs no
-        # block-diagonal expansion.
-        def fetch_window(w):
-            v = score(w)
-            eq = ((wwin[:] == float(w)) & (v <= m)).astype(jnp.float32)
-            ftw = ft_ref[pl.ds(w * WINDOW, WINDOW), :]
-            fa[:] = fa[:] + jax.lax.dot_general(
-                eq, ftw, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        fa[:] = jnp.zeros((QP, T * F), jnp.float32)
-        for w in range(min(prefix, NW)):
-            fetch_window(w)
-        for (blo, bhi) in blocks:
-            winb = (wwin[:] >= float(blo)) & (wwin[:] < float(bhi))
-            needf = jnp.any(winb & (acc[:] <= m))
-
-            @pl.when(needf)
-            def _(blo=blo, bhi=bhi):
-                for w in range(blo, bhi):
-                    fetch_window(w)
-
-        # tag-select the query's own cell block of fields
-        fcol = jax.lax.broadcasted_iota(jnp.int32, (QP, T * F), 1)
-        tmask = ((fcol // F).astype(jnp.float32) == tag)
-        F2m = jnp.where(tmask, fa[:], 0.0)
-        FA = F2m[:, 0:F]
-        for t in range(1, T):
-            FA = FA + F2m[:, t * F:(t + 1) * F]
-        fcx = FA[:, 0:1]
-        fcy = FA[:, 1:2]
-        fcz = FA[:, 2:3]
-        fidx = FA[:, 3:4]
-        d2 = (ex - fcx) ** 2 + (ey - fcy) ** 2 + (ez - fcz) ** 2
-        ok = valid & (fidx >= 0.0) & (d2 <= r2)
-
-        if corres:
-            d2o = jnp.where(ok, d2, jnp.float32(np.inf))
-            idxo = jnp.where(ok, fidx, jnp.float32(INVALID_INDEX))
-            r = i % 8
-            outs[0][pl.ds(r, 1), :] = d2o[:, 0][None, :]
-            outs[1][pl.ds(r, 1), :] = idxo[:, 0][None, :]
-            return
-
-        d2c = jnp.where(ok, d2, 0.0)
-        okf = ok
-        if est == EST_SYM:
-            s0 = qt[:, 4:5]
-            s1 = qt[:, 5:6]
-            s2 = qt[:, 6:7]
-            src_n = (R00 * s0 + R01 * s1 + R02 * s2,
-                     R10 * s0 + R11 * s1 + R12 * s2,
-                     R20 * s0 + R21 * s1 + R22 * s2)
-        else:
-            src_n = None
-        fetched = [FA[:, 4 + k:5 + k] for k in range(F - 4)]
-        if est in (EST_COLORED, EST_GICP):
-            qe = tuple(qt[:, 4 + k:5 + k]
-                       for k in range(n_query_extra(est)))
-            terms = _gn_terms_ext(
-                est, fetched, tx, ty, tz, ex - fcx, ey - fcy,
-                ez - fcz, qe,
-                (R00, R01, R02, R10, R11, R12, R20, R21, R22),
-                p_ref[0, 17], p_ref[0, 18], okf, d2c)
-        else:
-            if est == EST_PT2PT:
-                fetched = [fcx, fcy, fcz]
-            elif est == EST_SYM:
-                fetched = [fcx, fcy, fcz] + fetched[:3]
-            terms = _gn_terms(est, fetched, tx, ty, tz, ex, ey, ez,
-                              ccx, ccy, ccz, src_n, okf, d2c)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (1, n_sums), 1)
-        row = jnp.zeros((1, n_sums), jnp.float32)
-        for s, term in enumerate(terms):
-            row = row + jnp.where(slot == s, jnp.sum(term), 0.0)
-        outs[0][pl.ds(i, 1), :] = row
-
-    return kern
+    tag = qpool[:, 3, :]
+    valid = tag >= 0.0
+    step = tile0 + jnp.arange(G, dtype=jnp.int32)[:, None]
+    cell = jnp.minimum(step * T + jnp.clip(tag, 0.0).astype(jnp.int32),
+                       C - 1)
+    slot = slotf.astype(jnp.int32)
+    in_lanes = slot < 27 * cap
+    sl = jnp.clip(slot, 0, 27 * cap - 1)
+    run = sl // cap
+    rank = sl % cap
+    offs = np.asarray(RUN_OFFSETS, np.int32)
+    dx = jnp.asarray(offs[:, 0])[run]
+    dy = jnp.asarray(offs[:, 1])[run]
+    dz = jnp.asarray(offs[:, 2])[run]
+    cz = cell % Gz
+    cyx = cell // Gz
+    cy = cyx % Gy
+    cx = cyx // Gy
+    # wraparound neighbor arithmetic matches the build's jnp.roll:
+    # both guard rings are empty, so a ring-cell query resolving a
+    # wrapped neighbor sees the same empty lanes the kernel scored
+    nbr = ((cx + dx) % Gx * Gy + (cy + dy) % Gy) * Gz + (cz + dz) % Gz
+    pidx = grid.cellidx[nbr * cap + rank]
+    ok0 = valid & in_lanes & (pidx >= 0)
+    npts = grid.fields.shape[0]
+    safe = jnp.clip(pidx, 0, npts - 1)
+    f = jnp.take(grid.fields, safe.reshape(-1), axis=0) \
+        .reshape(G, QP, -1)
+    q = jnp.stack([qpool[:, 0, :], qpool[:, 1, :], qpool[:, 2, :]],
+                  -1)
+    tq = q @ R.T + t
+    d = tq - f[..., :3]
+    d2 = jnp.sum(d * d, -1)
+    ok = ok0 & (d2 <= r2)
+    if corres:
+        d2o = jnp.where(ok, d2, jnp.float32(np.inf))
+        idxo = jnp.where(ok, pidx.astype(jnp.float32),
+                         jnp.float32(INVALID_INDEX))
+        return d2o, idxo
+    d2c = jnp.where(ok, d2, 0.0)
+    tx, ty, tz = tq[..., 0], tq[..., 1], tq[..., 2]
+    px, py, pz = f[..., 0], f[..., 1], f[..., 2]
+    fcols = [f[..., 3 + k] for k in range(f.shape[-1] - 3)]
+    q_extra = tuple(qpool[:, 7 + k, :]
+                    for k in range(n_query_extra(est)))
+    R9 = tuple(params[k] for k in range(9))
+    terms = _gn_terms_world(est, fcols, tx, ty, tz, px, py, pz,
+                            q_extra, R9, params[17], params[18], ok,
+                            d2c)
+    sums = jnp.stack([jnp.sum(term) for term in terms])
+    return jnp.pad(sums, (0, N_SUMS - sums.shape[0]))[None, :]
 
 
 @partial(jax.jit, static_argnames=("est", "corres", "use_pallas"))
 def fused_pool_query(grid: PoolGrid, qpool, params, est: int,
-                     corres: bool, use_pallas: Optional[bool] = None):
+                     corres: bool, use_pallas: Optional[bool] = None,
+                     tile0=0):
     """One fused correspondence (+GN reduction) pass over the pooled
     grid. Returns (d2 [G, QP], idx [G, QP] f32) when `corres`, else a
-    [G, N_SUMS] array of per-tile partial sums."""
+    [1, N_SUMS] array of GN sums (summed over axis 0 by callers).
+
+    `grid` may be a SHARD of the global grid (scan/pbounds rows local)
+    with `tile0` giving local row 0's global supertile index; cellidx
+    and fields are always global."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
-        return _pool_query_xla(grid, qpool, params, est, corres)
-    interpret = use_pallas == "interpret"
-    G, CH, QP = qpool.shape
-    KC = grid.kc
-    T = grid.tile
-    NW = grid.n_windows
-    F = n_fields(est)
-    kern = _make_pool_kernel(est, T, QP, KC, grid.dims, corres, F)
-    scratch = [pltpu.VMEM((QP, WINDOW), jnp.float32),
-               pltpu.VMEM((QP, WINDOW), jnp.float32),
-               pltpu.VMEM((QP, T * F), jnp.float32)]
-    if corres:
-        gb = min(8, G)
-        out_shape = [jax.ShapeDtypeStruct((G, QP), jnp.float32)] * 2
-        out_specs = [pl.BlockSpec((gb, QP), lambda i: (i // 8, 0),
-                                  memory_space=pltpu.VMEM)] * 2
+        slotf = _slot_xla(grid, qpool, params)
     else:
-        out_shape = [jax.ShapeDtypeStruct((G, N_SUMS), jnp.float32)]
-        out_specs = [pl.BlockSpec((G, N_SUMS), lambda i: (0, 0),
-                                  memory_space=pltpu.VMEM)]
-    outs = pl.pallas_call(
-        kern,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, NPARAMS), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, CH, QP), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * T, KC), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW * WINDOW, T * F), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, NW), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(params.reshape(1, NPARAMS), qpool, grid.scan, grid.fieldsT,
-      grid.pbounds.reshape(G, 1, NW))
-    if corres:
-        return outs[0], outs[1]
-    return outs[0]
-
-
-# ---------------------------------------------------------------------------
-# XLA reference implementation (CPU tests / non-TPU fallback)
-# ---------------------------------------------------------------------------
-
-def _pool_query_xla(grid: PoolGrid, qpool, params, est: int,
-                    corres: bool):
-    """Same semantics as the kernel: bf16 block-diag score + lane-eps
-    tie-break + exact d2 from fetched f32 fields."""
-    G, CH, QP = qpool.shape
-    KC = grid.kc
-    T = grid.tile
-    NW = grid.n_windows
-    F = n_fields(est)
-    R = params[:9].reshape(3, 3)
-    t = params[9:12]
-    r2 = params[12]
-    origin = params[13:16]
-    cell = params[16]
-    Gx, Gy, Gz = grid.dims
-
-    scan = grid.scan.reshape(G, T, 4, KC)
-    fT = grid.fieldsT.reshape(G, NW, WINDOW, T, F)
-    eps = (jnp.arange(KC, dtype=jnp.float32) * LANE_EPS)[None, None, :]
-
-    def body(args):
-        q, sc, ft, gi = args
-        qt = q.T                                  # [QP, 8]
-        tag = qt[:, 3]
-        valid = tag >= 0.0
-        tgi = jnp.clip(tag, 0.0, float(T - 1)).astype(jnp.int32)
-        qw = qt[:, 0:3] @ R.T + t
-        lin0 = gi * T
-        zb = (lin0 % Gz).astype(jnp.float32)
-        yb = ((lin0 // Gz) % Gy).astype(jnp.float32)
-        xb = (lin0 // (Gz * Gy)).astype(jnp.float32)
-        cc = jnp.stack([
-            origin[0] + (xb + 0.5) * cell
-            + jnp.zeros_like(tag),
-            origin[1] + (yb + 0.5) * cell + jnp.zeros_like(tag),
-            origin[2] + (zb + jnp.maximum(tag, 0.0) + 0.5) * cell], -1)
-        e = qw - cc                               # [QP, 3]
-        qn = jnp.sum(e * e, -1)
-        crow = sc[tgi]                            # [QP, 4, KC] bf16
-        ebf = jnp.concatenate(
-            [e, jnp.ones((QP, 1), jnp.float32)],
-            -1).astype(jnp.bfloat16)              # [QP, 4]
-        v = jnp.einsum("qc,qck->qk", ebf, crow,
-                       preferred_element_type=jnp.float32)
-        v = v + eps[0]
-        lane = jnp.argmin(v, -1)
-        w = (lane // WINDOW).astype(jnp.int32)
-        l = (lane % WINDOW).astype(jnp.int32)
-        fsel = ft[w, l, tgi]                      # [QP, F]
-        fc = fsel[:, 0:3]
-        fidx = fsel[:, 3]
-        d2 = jnp.sum((e - fc) ** 2, -1)
-        ok = valid & (fidx >= 0.0) & (d2 <= r2)
-        if corres:
-            return (jnp.where(ok, d2, jnp.inf),
-                    jnp.where(ok, fidx, float(INVALID_INDEX)))
-        d2c = jnp.where(ok, d2, 0.0)
-        tx, ty, tz = qw[:, 0], qw[:, 1], qw[:, 2]
-        exq, eyq, ezq = e[:, 0], e[:, 1], e[:, 2]
-        if est == EST_SYM:
-            sn = qt[:, 4:7] @ R.T
-            src_n = (sn[:, 0], sn[:, 1], sn[:, 2])
-        else:
-            src_n = None
-        if est in (EST_COLORED, EST_GICP):
-            fetched = [fsel[:, 4 + k] for k in range(F - 4)]
-            qe = tuple(qt[:, 4 + k] for k in range(n_query_extra(est)))
-            terms = _gn_terms_ext(
-                est, fetched, tx, ty, tz,
-                exq - fc[:, 0], eyq - fc[:, 1], ezq - fc[:, 2], qe,
-                tuple(R.reshape(-1)), params[17], params[18], ok, d2c)
-        else:
-            if est == EST_PT2PT:
-                fetched = [fc[:, 0], fc[:, 1], fc[:, 2]]
-            elif est == EST_SYM:
-                fetched = [fc[:, 0], fc[:, 1], fc[:, 2],
-                           fsel[:, 4], fsel[:, 5], fsel[:, 6]]
-            else:
-                fetched = [fsel[:, 4 + k] for k in range(F - 4)]
-            terms = _gn_terms(est, fetched, tx, ty, tz, exq, eyq, ezq,
-                              cc[:, 0], cc[:, 1], cc[:, 2], src_n, ok,
-                              d2c)
-        row = jnp.zeros(N_SUMS, jnp.float32)
-        for s, term in enumerate(terms):
-            row = row.at[s].set(jnp.sum(term))
-        return row
-
-    gidx = jnp.arange(G, dtype=jnp.int32)
-    out = jax.lax.map(body, (qpool, scan, fT, gidx))
-    if corres:
-        return out
-    return out
+        slotf = _slot_pallas(grid, qpool, params,
+                             interpret=use_pallas == "interpret")
+    return _epilogue(grid, qpool, slotf, params, est, corres,
+                     tile0=tile0)

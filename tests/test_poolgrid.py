@@ -128,7 +128,7 @@ def test_icp_pool_matches_rungrid(rng, est_t):
         tgt_j, attrs, pplan["origin"], pplan["cell_size"],
         pplan["dims"], pplan["cap"], pplan["kc"], est=est_code,
         tile=pplan["tile"], mask=mask)
-    Tp, idxp, fitp, rmsep, itp = fused_icp.icp_core_pool(
+    Tp, idxp, fitp, rmsep, itp, _nd = fused_icp.icp_core_pool(
         src_j, mask, sn_j, pgrid, T0, jnp.float32(radius),
         pplan["rebin_margin"], jnp.float32(1e-6), jnp.float32(1e-6),
         pplan["qp"], est_t, 20)
