@@ -108,7 +108,7 @@ def bench_headline():
 
     # tracking mode: one target grid serves many frames (KinFu/SLAM)
     grid = build()
-    _sync(grid.pbounds)
+    _sync(grid.off)
     tt = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -121,7 +121,7 @@ def bench_headline():
     for _ in range(2):
         t0 = time.perf_counter()
         g = build()
-        _sync(g.pbounds)
+        _sync(g.off)
         build_s = min(build_s, time.perf_counter() - t0)
 
     baseline_fps = 2.5  # reconstructed GTX1070 full-ICP rate @1M pts

@@ -10,36 +10,43 @@ steps of fixed per-step cost, and (c) a 3-op VPU (min, argwindow)
 fold.  This revision restructures the pass around the measured v5e
 balance (197 Tbf16 MXU, ~0.8 TB/s HBM):
 
-1. POOLED QUERIES (kept).  Queries are binned per SUPERTILE of T
-   consecutive z-major cells (T=32 -> the block-diagonal score matmul
-   is an MXU-native [QP,128]@[128,128]) and packed densely with a
-   per-query cell TAG.  Supertiles may wrap (x, y) columns: each
-   cell's candidate lanes are self-contained, and the query rows
-   carry their own bin-time cell centers, so tiling is purely a
-   step-count / gating-granularity knob.
+1. POOLED QUERIES, LANES-MAJOR.  Queries are binned per SUPERTILE
+   of T=32 consecutive z-major cells and packed densely in the LANE
+   dimension with a per-query cell TAG; candidates live in sublanes.
+   Every per-query quantity is a native [1, QP] lane vector (no
+   in-kernel transposes) and the per-window score is an MXU-native
+   [128, 4T=128] @ [4T, QP] dot against a block-diagonal query
+   matrix. Supertiles may wrap (x, y) columns: each cell's candidate
+   lanes are self-contained and query rows carry their own bin-time
+   cell centers.
 
-2. PACKED SLOT-IN-KEY FOLD.  Per 128-lane window the kernel computes
-   the candidate score v = |c|^2 - 2 e.c as ONE bf16 matmul, then
-   folds key = (bitcast_f32(v + OFF) & ~SLOT_MASK) | slot into a
-   running int32 minimum.  OFF > max |e|^2 keeps v + OFF positive, so
-   the f32 bit pattern orders like the value; the low 12 bits carry
-   the slot id, quantizing scores to ~2^-12 relative (far below the
-   bf16 input noise) and breaking exact ties by slot.  One cross-lane
-   int min then yields the winner's slot directly — no argwindow
-   scratch, no one-hot fetch pass, and the kernel is ESTIMATOR-
-   INDEPENDENT (one compile serves all five estimators + plain
-   correspondence).
+2. PACKED SLOT-IN-KEY FOLD.  Per 128-lane window the kernel folds
+   key = (bitcast_f32(score + OFF) & ~SLOT_MASK) | slot into a
+   running int32 minimum.  OFF > max |e|^2 keeps score + OFF
+   positive, so the f32 bit pattern orders like the value; the low 12
+   bits carry the slot id, quantizing scores to ~2^-12 relative (far
+   below the bf16 input noise) and breaking exact ties by slot.  One
+   cross-sublane int min then yields the winner's slot directly — no
+   argwindow scratch, no one-hot fetch pass, and the kernel is
+   ESTIMATOR-INDEPENDENT (one compile serves all five estimators +
+   plain correspondence).
 
-3. XLA EPILOGUE ON COMPACT TABLES.  slot -> (neighbor run, rank) ->
-   original target index via a [C, cap] cell-index gather; exact f32
-   residuals and the Gauss-Newton reduction come from a [N, F]
-   world-frame per-point field table.  The 27x-duplicated per-window
-   fetch table is gone: per-pass traffic drops from 2.35 GB to the
-   0.47 GB score table plus ~60 MB of gathers.
+3. UNGATED BY MEASUREMENT.  On v5e @1M pts every pl.when window gate
+   cost a vector->scalar sync (~10 ms/pass total) while supertile-
+   pooled reach bounds almost never close on dense query pools (some
+   pooled query always sits near every corner run), so the kernel
+   streams all windows unconditionally.
 
-4. NO LANE SORT AT BUILD (kept).  Candidate lanes are 27 `jnp.roll`
-   runs in ascending center-offset order; per-window distance lower
-   bounds gate whole window blocks against a best-so-far reach test.
+4. XLA EPILOGUE ON ONE COMPACT TABLE.  slot -> (neighbor run, rank)
+   -> ONE row gather from the bin-ordered [C_pad*cap, F+1] field
+   table resolves exact f32 world-frame fields AND the original
+   target index; residuals and the Gauss-Newton reduction are plain
+   fused XLA.  The 27x-duplicated per-window fetch table is gone:
+   per-pass traffic drops from 2.35 GB to the 0.47 GB score table
+   plus ~60 MB of gathers (measured 66 -> ~20 ms per ICP iteration).
+
+5. NO LANE SORT AT BUILD (kept).  Candidate lanes are 27 `jnp.roll`
+   runs in ascending center-offset order.
 
 Capacity discipline matches the reference's padded-neighbor semantics
 (SURVEY.md 2.2, NUM_MAX_NN in knn/kdtree_search_param.h:26): per-cell
@@ -110,24 +117,34 @@ def query_channels(est: int) -> int:
 class PoolGrid:
     """Pytree; `dims`, `cap`, `kc`, `est`, `tile` static.
 
-    scan    [C_pad*4, KC] bf16  rows per cell: -2cx, -2cy, -2cz,
-                                |c|^2 (cell-centered; empty |c|^2=BIG)
-    cellidx [C_pad*cap]   i32   original target index per (cell,
-                                rank) slot, -1 empty
-    fields  [N, F]        f32   world-frame per-point columns
-                                (x, y, z, estimator channels)
-    pbounds [G, NW]       f32   min candidate distance per window per
-                                SUPERTILE (+inf where empty)
-    off     []            f32   key offset (> max |e|^2; 8*cell^2)
+    scan      [G*KC, 4T]       bf16 lanes-major score table: row
+                               (supertile, candidate slot), col (cell-
+                               in-tile, field) with fields -2cx, -2cy,
+                               -2cz, |c|^2 (cell-centered; empty
+                               |c|^2=BIG). Drives the GN iterations.
+    scan_lo   [G*KC, 4T]       bf16 low-order residual of the score
+                               table (f32 - bf16(f32)); CORRES passes
+                               (reported metrics, the kNN surface)
+                               reconstruct ~f32 scores from three
+                               bf16 MXU passes — single-pass bf16
+                               selection flips ~2% of winners to a
+                               spacing-distance neighbor (rmse 3e-3
+                               vs 1.8e-4 at 1M), which GN tolerates
+                               but parity does not
+    binfields [C_pad*cap, F+1] f32 world-frame per-point columns in
+                               BIN order (x, y, z, estimator channels,
+                               original index as f32; -1 empty) — one
+                               row gather resolves winner fields AND
+                               identity (exact for N < 2^24)
+    off       []               f32 key offset (> max |e|^2; 8*cell^2)
     """
 
-    def __init__(self, scan, cellidx, fields, pbounds, origin,
+    def __init__(self, scan, scan_lo, binfields, origin,
                  cell_size, off, dims, cap, kc, est, tile,
                  n_dropped=None):
         self.scan = scan
-        self.cellidx = cellidx
-        self.fields = fields
-        self.pbounds = pbounds
+        self.scan_lo = scan_lo
+        self.binfields = binfields
         self.origin = origin
         self.cell_size = cell_size
         self.off = off
@@ -151,19 +168,19 @@ class PoolGrid:
     def n_tiles(self) -> int:
         """Supertiles covered by THIS grid's scan rows (a shard's
         count when the scan leaf is a ring shard)."""
-        return self.scan.shape[0] // (4 * self.tile)
+        return self.scan.shape[0] // self.kc
 
 
 def _poolgrid_flatten(g):
-    return ((g.scan, g.cellidx, g.fields, g.pbounds, g.origin,
+    return ((g.scan, g.scan_lo, g.binfields, g.origin,
              g.cell_size, g.off, g.n_dropped),
             (g.dims, g.cap, g.kc, g.est, g.tile))
 
 
 def _poolgrid_unflatten(aux, leaves):
-    (scan, cellidx, fields, pbounds, origin, cell_size, off,
+    (scan, scan_lo, binfields, origin, cell_size, off,
      n_dropped) = leaves
-    return PoolGrid(scan, cellidx, fields, pbounds, origin, cell_size,
+    return PoolGrid(scan, scan_lo, binfields, origin, cell_size,
                     off, *aux, n_dropped=n_dropped)
 
 
@@ -242,8 +259,7 @@ def plan_poolgrid(points: np.ndarray, radius: float,
         return None
     F = n_fields(est)
     npts = int(finite.sum())
-    grid_bytes = c_pad * 4 * kc * 2 + c_pad * cap * 4 + npts * F * 4 \
-        + (c_pad // tile) * (kc // WINDOW) * 4
+    grid_bytes = c_pad * 4 * kc * 4 + c_pad * cap * 4 + npts * F * 4
     if grid_bytes > mem_budget_bytes:
         return None
     origin = (lo - cell).astype(np.float32)
@@ -376,7 +392,6 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
     cx, cy, cz = (jnp.where(empty, zero, v) for v in (cx, cy, cz))
     cn = jnp.where(empty, jnp.float32(BIG),
                    cx * cx + cy * cy + cz * cz)
-    dist = jnp.where(empty, jnp.float32(np.inf), jnp.sqrt(cn))
 
     pad = kc - 27 * cap
     if pad:
@@ -384,43 +399,51 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
             return jnp.pad(a, ((0, 0), (0, pad)), constant_values=v)
         cx, cy, cz = padk(cx, 0), padk(cy, 0), padk(cz, 0)
         cn = padk(cn, BIG)
-        dist = padk(dist, np.inf)
 
-    # (a) scan rows, bf16, interleaved per cell; phantom pad cells
-    # beyond C are zero (gated by +inf pbounds and owning no queries)
-    scan = jnp.stack([-2.0 * cx, -2.0 * cy, -2.0 * cz, cn], 1) \
-        .astype(jnp.bfloat16).reshape(C * 4, kc)
-    scan = jnp.pad(scan, ((0, (C_pad - C) * 4), (0, 0)))
+    # (a) scan table in the kernel's LANES-MAJOR layout
+    # [G*KC, 4T]: row (supertile, slot), col (cell-in-tile, field) —
+    # the per-window score is then [128, 4T] @ [4T, QP] with no
+    # in-kernel transposes. Phantom pad cells beyond C are zero
+    # (they own no queries).
+    scan32 = jnp.stack([-2.0 * cx, -2.0 * cy, -2.0 * cz, cn], 1)
+    scan32 = jnp.pad(scan32, ((0, C_pad - C), (0, 0), (0, 0)))
+    scan32 = scan32.reshape(G, tile, 4, kc).transpose(0, 3, 1, 2) \
+        .reshape(G * kc, tile * 4)
+    scan = scan32.astype(jnp.bfloat16)
+    scan_lo = (scan32 - scan.astype(jnp.float32)) \
+        .astype(jnp.bfloat16)
 
-    # (b) compact slot->original-index table
-    cellidx = jnp.pad(index.reshape(-1), (0, (C_pad - C) * cap),
-                      constant_values=INVALID_INDEX)
-
-    # (c) world-frame per-point fields for the epilogue
+    # (b) world-frame per-point fields + original index, in BIN
+    # order: ONE row gather in the epilogue resolves the winner
     fields = jnp.concatenate([points, attrs], -1) \
         .astype(jnp.float32) if attrs.shape[1] else \
         points.astype(jnp.float32)
-
-    # (d) exact per-window bounds, pooled per supertile
-    wmin = jnp.min(dist.reshape(C, NW, WINDOW), -1)
-    wmin = jnp.pad(wmin, ((0, C_pad - C), (0, 0)),
-                   constant_values=np.inf)
-    pbounds = jnp.min(wmin.reshape(G, tile, NW), 1)
+    idx_flat = jnp.pad(index.reshape(-1), (0, (C_pad - C) * cap),
+                       constant_values=INVALID_INDEX)
+    safe_idx = jnp.clip(idx_flat, 0, points.shape[0] - 1)
+    binfields = jnp.concatenate(
+        [fields[safe_idx], idx_flat[:, None].astype(jnp.float32)], -1)
+    binfields = jnp.where(idx_flat[:, None] >= 0, binfields,
+                          jnp.concatenate([
+                              jnp.zeros((1, fields.shape[1]),
+                                        jnp.float32),
+                              jnp.float32(INVALID_INDEX)
+                              * jnp.ones((1, 1), jnp.float32)], -1))
 
     off = 8.0 * cell_size * cell_size
-    return scan, cellidx, fields, pbounds, off, n_dropped
+    return scan, scan_lo, binfields, off, n_dropped
 
 
 def make_poolgrid(points, attrs, origin, cell_size, dims, cap, kc,
                   est: int = EST_NONE, tile: int = 32,
                   mask=None, shards: int = 1) -> PoolGrid:
-    scan, cellidx, fields, pbounds, off, n_dropped = \
+    scan, scan_lo, binfields, off, n_dropped = \
         build_poolgrid_arrays(
             points, attrs, jnp.asarray(origin, jnp.float32),
             jnp.asarray(cell_size, jnp.float32), tuple(dims),
             int(cap), int(kc), int(est), int(tile), mask=mask,
             shards=int(shards))
-    return PoolGrid(scan, cellidx, fields, pbounds,
+    return PoolGrid(scan, scan_lo, binfields,
                     jnp.asarray(origin, jnp.float32),
                     jnp.asarray(cell_size, jnp.float32), off,
                     tuple(dims), int(cap), int(kc), int(est),
@@ -433,7 +456,7 @@ def make_poolgrid(points, attrs, origin, cell_size, dims, cap, kc,
 
 @partial(jax.jit, static_argnames=("dims", "qp", "tile", "n_extra",
                                    "shards"))
-def bin_queries_pool(points, bin_positions, origin, cell_size,
+def bin_queries_pool(points, bin_T, origin, cell_size,
                      dims: Tuple[int, int, int], qp: int, tile: int,
                      extra=None, n_extra: int = 0, mask=None,
                      shards: int = 1):
@@ -441,29 +464,57 @@ def bin_queries_pool(points, bin_positions, origin, cell_size,
 
     Returns (qpool [G, CH, QP] f32 rows (x, y, z, tagf, ccx, ccy,
     ccz, extra..., 0), qidx [G, QP] int32 (-1 empty), n_dropped).
-    CH per `query_channels`. Queries keep ORIGINAL coords; binned by
-    `bin_positions` (position under the binning transform); cc is the
-    bin-time cell center so the kernel needs no cell-index
-    arithmetic. tagf = cell-within-supertile, -1 empty."""
+    CH per `query_channels`. Queries keep ORIGINAL coords; binned at
+    position bin_T @ q. Only (x, y, z, extras) ride the sort network;
+    tag and the bin-time cell center are re-derived from the pooled
+    coordinates afterwards (bit-identical floor arithmetic), which
+    nearly halves the dominant rebin cost. tagf = cell-within-
+    supertile, -1 empty."""
     C = dims[0] * dims[1] * dims[2]
     C_pad = _round_up(C, tile * shards)
     G = C_pad // tile
+    Rb = bin_T[:3, :3]
+    tb = bin_T[:3, 3]
+    # explicit per-axis muls, NOT a matmul: TPU matmuls default to
+    # bf16 passes, and the post-scatter tag/cc re-derivation below
+    # must reproduce these positions BIT-EXACTLY or boundary queries
+    # get mis-tagged (seen as a 4% fitness loss at 1M points)
+    bin_positions = jnp.stack(
+        [Rb[0, 0] * points[:, 0] + Rb[0, 1] * points[:, 1]
+         + Rb[0, 2] * points[:, 2] + tb[0],
+         Rb[1, 0] * points[:, 0] + Rb[1, 1] * points[:, 1]
+         + Rb[1, 2] * points[:, 2] + tb[1],
+         Rb[2, 0] * points[:, 0] + Rb[2, 1] * points[:, 1]
+         + Rb[2, 2] * points[:, 2] + tb[2]], -1)
     key, lin, inb = _cell_key(bin_positions, origin, cell_size, dims,
                               tile, mask)
-    tagf = jnp.where(inb, (lin % tile).astype(jnp.float32), -1.0)
-    cc = cell_centers(dims, origin, cell_size, C)[
-        jnp.clip(lin, 0, C - 1)]
-    channels = [points[:, 0], points[:, 1], points[:, 2], tagf,
-                cc[:, 0], cc[:, 1], cc[:, 2]]
+    # the linear cell id rides the sort as an exact-int f32 channel;
+    # tag and the cell center are decoded from IT after pooling, so
+    # they agree with the key binning bit-for-bit (re-deriving them
+    # from re-transformed coordinates is NOT safe: XLA may fuse the
+    # two sites differently and flip boundary cells)
+    linf = jnp.where(inb, lin, -1).astype(jnp.float32)
+    channels = [points[:, 0], points[:, 1], points[:, 2], linf]
     for i in range(n_extra):
         channels.append(extra[:, i])
     fill = [jnp.float32(0.0)] * 3 + [jnp.float32(-1.0)] + \
-        [jnp.float32(0.0)] * (3 + n_extra)
+        [jnp.float32(0.0)] * n_extra
     binned, index, n_dropped = _bin_to_slots(key, G, qp, channels,
                                              fill)
+    x, y, z = binned[0], binned[1], binned[2]
+    linq = binned[3].astype(jnp.int32)
+    occ = (index >= 0) & (linq >= 0)
+    tagf = jnp.where(occ, (linq % tile).astype(jnp.float32), -1.0)
+    lc = jnp.clip(linq, 0, C - 1)
+    cellz = (lc % dims[2]).astype(jnp.float32)
+    celly = ((lc // dims[2]) % dims[1]).astype(jnp.float32)
+    cellx = (lc // (dims[2] * dims[1])).astype(jnp.float32)
+    ccx = origin[0] + (cellx + 0.5) * cell_size
+    ccy = origin[1] + (celly + 0.5) * cell_size
+    ccz = origin[2] + (cellz + 0.5) * cell_size
     CH = max(8, _round_up(7 + n_extra, 4))
-    rows = binned + [jnp.zeros((G, qp), jnp.float32)] * (
-        CH - len(binned))
+    rows = [x, y, z, tagf, ccx, ccy, ccz] + binned[4:]
+    rows += [jnp.zeros((G, qp), jnp.float32)] * (CH - len(rows))
     qpool = jnp.stack(rows[:CH], 1)
     return qpool, index, n_dropped
 
@@ -503,137 +554,160 @@ def _scan_blocks(NW: int, prefix: int, n_tail: int):
 
 
 def _make_slim_kernel(T: int, QP: int, KC: int, gb: int,
-                      prefix: int = 2, n_tail: int = 3):
+                      exact: bool):
+    """Lanes-major slot kernel: QUERIES LIVE IN LANES, candidates in
+    sublanes — every per-query quantity is a native [1, QP] lane
+    vector (no transposes, no [QP, 1] sublane-wasted ops) and the
+    per-window score is an MXU-native [128, 4T] @ [4T, QP] dot.
+    Ungated by design (see _slot_pallas)."""
     NW = KC // WINDOW
 
-    def kern(p_ref, q_ref, c_ref, b_ref, out_ref, acc):
+    def kern(p_ref, q_ref, c_ref, *rest):
+        cl_ref = rest[0] if exact else None
+        out_ref, acc = rest[-2], rest[-1]
         i = pl.program_id(0)
         R00, R01, R02 = p_ref[0, 0], p_ref[0, 1], p_ref[0, 2]
         R10, R11, R12 = p_ref[0, 3], p_ref[0, 4], p_ref[0, 5]
         R20, R21, R22 = p_ref[0, 6], p_ref[0, 7], p_ref[0, 8]
         t0, t1, t2 = p_ref[0, 9], p_ref[0, 10], p_ref[0, 11]
-        r2 = p_ref[0, 12]
         off = p_ref[0, 13]
 
-        qt = q_ref[:, :].T                    # [QP, 8]
-        qx, qy, qz = qt[:, 0:1], qt[:, 1:2], qt[:, 2:3]
-        tag = qt[:, 3:4]
-        valid = tag >= 0.0
+        qx = q_ref[0:1, :]
+        qy = q_ref[1:2, :]
+        qz = q_ref[2:3, :]
+        tag = q_ref[3:4, :]                   # [1, QP]
         tx = R00 * qx + R01 * qy + R02 * qz + t0
         ty = R10 * qx + R11 * qy + R12 * qz + t1
         tz = R20 * qx + R21 * qy + R22 * qz + t2
-        ex = tx - qt[:, 4:5]
-        ey = ty - qt[:, 5:6]
-        ez = tz - qt[:, 6:7]
-        qn = ex * ex + ey * ey + ez * ez
-        dqc = jnp.sqrt(qn)
+        ex = tx - q_ref[4:5, :]
+        ey = ty - q_ref[5:6, :]
+        ez = tz - q_ref[6:7, :]
 
-        # block-diagonal query matrix A [QP, 4T]
-        colid = jax.lax.broadcasted_iota(jnp.int32, (QP, 4 * T), 1)
-        tcol = (colid >> 2).astype(jnp.float32)
-        j = colid & 3
+        # block-diagonal query matrix A^T [4T, QP]: row 4t+j holds
+        # (ex, ey, ez, 1)[j] for queries tagged to cell t, else 0
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (4 * T, QP), 0)
+        trow = (rowid >> 2).astype(jnp.float32)
+        j = rowid & 3
         val = jnp.where(j == 0, ex, jnp.where(j == 1, ey,
                         jnp.where(j == 2, ez, 1.0)))
-        A = jnp.where(tag == tcol, val, 0.0).astype(jnp.bfloat16)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (QP, WINDOW), 1)
+        Af = jnp.where(tag == trow, val, 0.0)
+        A = Af.astype(jnp.bfloat16)
+        if exact:
+            # split-precision selection: the MXU runs single bf16
+            # passes regardless of any `precision` request, so ~f32
+            # scores are reconstructed as Bh*Ah + Bl*Ah + Bh*Al from
+            # the precomputed low-order table (Bl*Al ~2^-16 relative,
+            # below the 12-bit key quantum)
+            Al = (Af - A.astype(jnp.float32)).astype(jnp.bfloat16)
+        subl = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, QP), 0)
 
-        def fold(w):
-            B = c_ref[:, w * WINDOW:(w + 1) * WINDOW]
-            v = jax.lax.dot_general(
-                A, B, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + off
+        def dot(x, y):
+            return jax.lax.dot_general(
+                x, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        for w in range(NW):
+            sl = pl.ds(w * WINDOW, WINDOW)
+            B = c_ref[sl, :]                  # [128, 4T] bf16
+            if exact:
+                Bl = cl_ref[sl, :]
+                v = ((dot(B, A) + dot(Bl, A)) + dot(B, Al)) + off
+            else:
+                v = dot(B, A) + off
             key = (jax.lax.bitcast_convert_type(v, jnp.int32)
-                   & ~SLOT_MASK) | (w * WINDOW + lanes)
+                   & ~SLOT_MASK) | (w * WINDOW + subl)
             if w == 0:
                 acc[:] = key
             else:
                 acc[:] = jnp.minimum(acc[:], key)
 
-        for w in range(min(prefix, NW)):
-            fold(w)
-        blocks = _scan_blocks(NW, prefix, n_tail)
-        if blocks:
-            m0 = jnp.min(acc[:], -1, keepdims=True)
-            v0 = jax.lax.bitcast_convert_type(
-                m0 & ~SLOT_MASK, jnp.float32) - off
-            bd0 = jnp.sqrt(jnp.maximum(jnp.minimum(v0 + qn, r2), 0.0))
-            reach = jnp.where(valid, bd0 + dqc, -1.0)
-        for (blo, bhi) in blocks:
-            bmin = b_ref[0, blo]
-            for w in range(blo + 1, bhi):
-                bmin = jnp.minimum(bmin, b_ref[0, w])
-            need = jnp.any(reach >= bmin)
-
-            @pl.when(need)
-            def _(blo=blo, bhi=bhi):
-                for w in range(blo, bhi):
-                    fold(w)
-
-        m = jnp.min(acc[:], -1)               # [QP] winning key
+        m = jnp.min(acc[:], 0, keepdims=True)   # [1, QP] winning key
         slot = (m & SLOT_MASK).astype(jnp.float32)
         r = i % gb
-        out_ref[pl.ds(r, 1), :] = slot[None, :]
+        out_ref[pl.ds(r, 1), :] = slot
 
     return kern
 
 
-def _slot_pallas(grid: PoolGrid, qpool, params, interpret: bool):
+def _slot_pallas(grid: PoolGrid, qpool, params, interpret: bool,
+                 exact: bool = False):
+    """Measured on v5e @1M pts: UNGATED wins — a pl.when window gate
+    costs a vector->scalar sync (~3 us/step, ~10 ms per pass) while
+    the supertile-pooled reach test (bd0 + |q - cc|) almost never
+    closes on dense query pools, because some pooled query always
+    sits near every corner run. The kernel therefore streams all NW
+    windows unconditionally."""
     G, CH, QP = qpool.shape
     KC = grid.kc
     T = grid.tile
-    NW = grid.n_windows
     gb = min(8, G)
-    kern = _make_slim_kernel(T, QP, KC, gb)
+    kern = _make_slim_kernel(T, QP, KC, gb, exact)
+    in_specs = [
+        pl.BlockSpec((1, NPARAMS), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((None, 8, QP), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((KC, 4 * T), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [params.reshape(1, NPARAMS), qpool, grid.scan]
+    if exact:
+        in_specs.append(pl.BlockSpec((KC, 4 * T), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(grid.scan_lo)
     return pl.pallas_call(
         kern,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, NPARAMS), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 8, QP), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * T, KC), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, NW), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((gb, QP), lambda i: (i // gb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, QP), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((QP, WINDOW), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((WINDOW, QP), jnp.int32)],
         interpret=interpret,
-    )(params.reshape(1, NPARAMS), qpool, grid.scan,
-      grid.pbounds.reshape(G, 1, NW))
+    )(*args)
 
 
-def _slot_xla(grid: PoolGrid, qpool, params):
-    """Bit-exact XLA mirror of the kernel's packed-key selection
-    (CPU tests / non-TPU fallback). No window gating — gating is
-    conservative, so results match."""
+def _slot_xla(grid: PoolGrid, qpool, params, exact: bool = False):
+    """XLA mirror of the kernel's packed-key selection (CPU tests /
+    non-TPU fallback); adding the 124 structurally-zero terms of the
+    kernel's K=4T contraction is exact in fp, so results match to the
+    12-bit key quantum."""
     G, CH, QP = qpool.shape
     KC = grid.kc
     T = grid.tile
-    C_pad = grid.scan.shape[0] // 4
     R = params[:9].reshape(3, 3)
     t = params[9:12]
     off = params[13]
     tag = qpool[:, 3, :]
-    step = jnp.arange(G, dtype=jnp.int32)[:, None]
-    cell = jnp.minimum(step * T + jnp.clip(tag, 0.0).astype(jnp.int32),
-                       C_pad - 1)
+    tcell = jnp.clip(tag, 0.0).astype(jnp.int32)
     q = jnp.stack([qpool[:, 0, :], qpool[:, 1, :], qpool[:, 2, :]],
                   -1)
     cc = jnp.stack([qpool[:, 4, :], qpool[:, 5, :], qpool[:, 6, :]],
                    -1)
     tq = q @ R.T + t
     e = tq - cc                               # [G, QP, 3]
-    A = jnp.concatenate([e, jnp.ones_like(e[..., :1])], -1) \
-        .astype(jnp.bfloat16)                 # [G, QP, 4]
-    rows = grid.scan.reshape(C_pad, 4, KC)[cell]   # [G, QP, 4, KC]
-    v = jax.lax.dot_general(
-        A[:, :, None, :], rows,
-        (((3,), (2,)), ((0, 1), (0, 1))),
-        preferred_element_type=jnp.float32)[:, :, 0, :] + off
+    Af = jnp.concatenate([e, jnp.ones_like(e[..., :1])], -1)
+    A = Af.astype(jnp.bfloat16)
+    # scan rows: (g, k) x (t, j) -> per-query cell rows
+    def take_rows(scan):
+        r = scan.reshape(G, KC, T, 4)
+        return jnp.take_along_axis(
+            r, tcell[:, None, :, None].astype(jnp.int32),
+            axis=2)                           # [G, KC, QP, 4]
+
+    def dot(x, y):
+        return jnp.einsum("gqf,gkqf->gqk", x, y,
+                          preferred_element_type=jnp.float32)
+
+    Bh = take_rows(grid.scan)
+    if exact:
+        # mirror the kernel's explicit three-pass split product
+        # (same add order -> bit-faithful on CPU)
+        Al = (Af - A.astype(jnp.float32)).astype(jnp.bfloat16)
+        Bl = take_rows(grid.scan_lo)
+        v = ((dot(A, Bh) + dot(A, Bl)) + dot(Al, Bh)) + off
+    else:
+        v = dot(A, Bh) + off
     slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, KC), 2)
     key = (jax.lax.bitcast_convert_type(v, jnp.int32)
            & ~SLOT_MASK) | slots
@@ -798,11 +872,11 @@ def _epilogue(grid: PoolGrid, qpool, slotf, params, est: int,
               corres: bool, tile0=0):
     """slot id -> original target index -> exact residuals; then
     either the per-query correspondence pair or the fully-reduced GN
-    sums. All gathers are against compact tables ([C, cap] index,
-    [N, F] fields). `tile0` is the GLOBAL supertile index of local
-    row 0 — nonzero when the kernel ran on a rotated grid shard
-    (parallel/sharded.py ring): cellidx/fields stay globally
-    indexed."""
+    sums. The single gather is against the compact bin-ordered
+    [C_pad*cap, F+1] field+index table. `tile0` is the GLOBAL
+    supertile index of local row 0 — nonzero when the kernel ran on a
+    rotated grid shard (parallel/sharded.py ring): binfields stays
+    globally indexed."""
     G, CH, QP = qpool.shape
     T = grid.tile
     Gx, Gy, Gz = grid.dims
@@ -834,12 +908,11 @@ def _epilogue(grid: PoolGrid, qpool, slotf, params, est: int,
     # both guard rings are empty, so a ring-cell query resolving a
     # wrapped neighbor sees the same empty lanes the kernel scored
     nbr = ((cx + dx) % Gx * Gy + (cy + dy) % Gy) * Gz + (cz + dz) % Gz
-    pidx = grid.cellidx[nbr * cap + rank]
+    g = jnp.take(grid.binfields, (nbr * cap + rank).reshape(-1),
+                 axis=0).reshape(G, QP, -1)
+    f = g[..., :-1]
+    pidx = g[..., -1].astype(jnp.int32)
     ok0 = valid & in_lanes & (pidx >= 0)
-    npts = grid.fields.shape[0]
-    safe = jnp.clip(pidx, 0, npts - 1)
-    f = jnp.take(grid.fields, safe.reshape(-1), axis=0) \
-        .reshape(G, QP, -1)
     q = jnp.stack([qpool[:, 0, :], qpool[:, 1, :], qpool[:, 2, :]],
                   -1)
     tq = q @ R.T + t
@@ -873,15 +946,16 @@ def fused_pool_query(grid: PoolGrid, qpool, params, est: int,
     grid. Returns (d2 [G, QP], idx [G, QP] f32) when `corres`, else a
     [1, N_SUMS] array of GN sums (summed over axis 0 by callers).
 
-    `grid` may be a SHARD of the global grid (scan/pbounds rows local)
-    with `tile0` giving local row 0's global supertile index; cellidx
-    and fields are always global."""
+    `grid` may be a SHARD of the global grid (scan rows local)
+    with `tile0` giving local row 0's global supertile index;
+    binfields is always global."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
-        slotf = _slot_xla(grid, qpool, params)
+        slotf = _slot_xla(grid, qpool, params, exact=corres)
     else:
         slotf = _slot_pallas(grid, qpool, params,
-                             interpret=use_pallas == "interpret")
+                             interpret=use_pallas == "interpret",
+                             exact=corres)
     return _epilogue(grid, qpool, slotf, params, est, corres,
                      tile0=tile0)

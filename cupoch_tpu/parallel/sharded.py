@@ -146,9 +146,8 @@ def ring_sharded_pool_icp_fn(mesh: Mesh, qp: int,
     icp_core_pool_ring): the pooled grid's score table is sharded by
     supertile across the mesh and ring-rotated with `ppermute`, so the
     target map is bounded by TOTAL mesh HBM instead of one device's
-    (VERDICT r3 item 5). In/out: src sharded by points; grid scan+
-    pbounds sharded on their leading axis; cellidx/fields/scalars
-    replicated."""
+    (VERDICT r3 item 5). In/out: src sharded by points; grid scan
+    sharded on its leading axis; binfields/scalars replicated."""
     from ..knn import poolgrid as _pg
 
     D = mesh.devices.size
@@ -158,17 +157,17 @@ def ring_sharded_pool_icp_fn(mesh: Mesh, qp: int,
                    use_pallas=use_pallas, axis_name=POINTS_AXIS)
     grid_static = {}
     shard = jax.shard_map(
-        lambda s, m, a, gscan, gcell, gfield, gpb, gor, gcs, goff,
+        lambda s, m, a, gscan, gscanlo, gbf, gor, gcs, goff,
         gnd, T0, md, rm, rf, rr: body(
             s, m, a,
-            _pg.PoolGrid(gscan, gcell, gfield, gpb, gor, gcs, goff,
+            _pg.PoolGrid(gscan, gscanlo, gbf, gor, gcs, goff,
                          grid_static["dims"], grid_static["cap"],
                          grid_static["kc"], grid_static["est"],
                          grid_static["tile"], n_dropped=gnd),
             T0, md, rm, rf, rr),
         mesh=mesh,
         in_specs=(P(POINTS_AXIS), P(POINTS_AXIS), P(POINTS_AXIS),
-                  P(POINTS_AXIS), P(), P(), P(POINTS_AXIS), P(), P(),
+                  P(POINTS_AXIS), P(POINTS_AXIS), P(), P(), P(),
                   P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(POINTS_AXIS), P(), P(), P()),
         check_vma=False,
@@ -178,8 +177,8 @@ def ring_sharded_pool_icp_fn(mesh: Mesh, qp: int,
            rel_fit, rel_rmse):
         grid_static.update(dims=grid.dims, cap=grid.cap, kc=grid.kc,
                            est=grid.est, tile=grid.tile)
-        return shard(src, mask, aux, grid.scan, grid.cellidx,
-                     grid.fields, grid.pbounds, grid.origin,
+        return shard(src, mask, aux, grid.scan, grid.scan_lo,
+                     grid.binfields, grid.origin,
                      grid.cell_size, grid.off, grid.n_dropped,
                      init_T, max_dist, rebin_margin, rel_fit, rel_rmse)
 
@@ -195,7 +194,7 @@ def ring_sharded_registration_icp(
 ):
     """Cell-sharded counterpart of `sharded_registration_icp`: plans
     the pooled grid with C padded to a multiple of tile*D, shards
-    scan/pbounds across the mesh, and runs the ring ICP loop.
+    the scan table across the mesh, and runs the ring ICP loop.
 
     Returns (T [4,4] np, fitness, rmse, iterations, seconds)."""
     import time
@@ -235,8 +234,8 @@ def ring_sharded_registration_icp(
 
     def put_grid(grid):
         grid.scan = jax.device_put(grid.scan, shard_spec)
-        grid.pbounds = jax.device_put(grid.pbounds, shard_spec)
-        for leaf in ("cellidx", "fields", "origin", "cell_size",
+        grid.scan_lo = jax.device_put(grid.scan_lo, shard_spec)
+        for leaf in ("binfields", "origin", "cell_size",
                      "off", "n_dropped"):
             setattr(grid, leaf, jax.device_put(getattr(grid, leaf),
                                                rep))

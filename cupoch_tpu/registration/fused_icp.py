@@ -292,9 +292,8 @@ def icp_core_pool(
     e1 = jnp.asarray(extra_params[1], jnp.float32)
 
     def rebin_full(T):
-        pos = transform_points(T, src)
         return poolgrid.bin_queries_pool(
-            src, pos, grid.origin, grid.cell_size, grid.dims, qp,
+            src, T, grid.origin, grid.cell_size, grid.dims, qp,
             grid.tile, extra=src_aux, n_extra=n_extra, mask=src_mask)
 
     def rebin(T):
@@ -377,8 +376,8 @@ def icp_core_pool_ring(
     src: jax.Array,            # [Nd, 3] THIS device's source shard
     src_mask: jax.Array,       # [Nd]
     src_aux: jax.Array,        # [Nd, E] est extras
-    grid: poolgrid.PoolGrid,   # scan/pbounds = THIS device's shard;
-                               # cellidx/fields replicated (global)
+    grid: poolgrid.PoolGrid,   # scan = THIS device's shard;
+                               # binfields replicated (global)
     init_T: jax.Array,
     max_dist: jax.Array,
     rebin_margin: jax.Array,
@@ -402,8 +401,8 @@ def icp_core_pool_ring(
     D rounds every shard has visited every device and the 29 GN floats
     are `psum`'d as in the replicated path.
 
-    Only scan+pbounds rotate (~96% of grid bytes at bench shapes);
-    the epilogue's compact cellidx/fields tables stay replicated.
+    Only scan rotates (the dominant grid bytes at bench shapes);
+    the epilogue's compact binfields table stays replicated.
     Returns (T, idx [Nd] int32 local, fitness, rmse, iterations)."""
     D = n_shards
     Np = src.shape[0]
@@ -419,16 +418,17 @@ def icp_core_pool_ring(
     my = jax.lax.axis_index(axis_name).astype(jnp.int32)
     perm = [(i, (i + 1) % D) for i in range(D)]
 
-    def local_grid(scan_sh, pb_sh):
+    def local_grid(scan_sh, scan_lo_sh=None):
+        if scan_lo_sh is None:
+            scan_lo_sh = jnp.zeros_like(scan_sh)
         return poolgrid.PoolGrid(
-            scan_sh, grid.cellidx, grid.fields, pb_sh, grid.origin,
+            scan_sh, scan_lo_sh, grid.binfields, grid.origin,
             grid.cell_size, grid.off, grid.dims, grid.cap, grid.kc,
             grid.est, grid.tile)
 
     def rebin_full(T):
-        pos = transform_points(T, src)
         return poolgrid.bin_queries_pool(
-            src, pos, grid.origin, grid.cell_size, grid.dims, qp,
+            src, T, grid.origin, grid.cell_size, grid.dims, qp,
             grid.tile, extra=src_aux, n_extra=n_extra, mask=src_mask,
             shards=D)
 
@@ -442,20 +442,19 @@ def icp_core_pool_ring(
         qb = qpool.reshape(D, Gd, CH, QP)
 
         def body(r, carry):
-            scan_sh, pb_sh, sid, acc = carry
+            scan_sh, sid, acc = carry
             block = jax.lax.dynamic_index_in_dim(qb, sid, 0,
                                                  keepdims=False)
             sums = poolgrid.fused_pool_query(
-                local_grid(scan_sh, pb_sh), block, params, est, False,
+                local_grid(scan_sh), block, params, est, False,
                 use_pallas=use_pallas, tile0=sid * Gd)
             acc = acc + sums[0]
             scan_sh = jax.lax.ppermute(scan_sh, axis_name, perm)
-            pb_sh = jax.lax.ppermute(pb_sh, axis_name, perm)
-            return scan_sh, pb_sh, (sid - 1) % D, acc
+            return scan_sh, (sid - 1) % D, acc
 
         *_, acc = jax.lax.fori_loop(
             0, D, body,
-            (grid.scan, grid.pbounds, my,
+            (grid.scan, my,
              jnp.zeros((rungrid.N_SUMS,), jnp.float32)))
         return jax.lax.psum(acc, axis_name)
 
@@ -468,20 +467,21 @@ def icp_core_pool_ring(
                        jnp.float32)
 
         def body(r, carry):
-            scan_sh, pb_sh, sid, d2b, ixb = carry
+            scan_sh, lo_sh, sid, d2b, ixb = carry
             block = jax.lax.dynamic_index_in_dim(qb, sid, 0,
                                                  keepdims=False)
             d2, ix = poolgrid.fused_pool_query(
-                local_grid(scan_sh, pb_sh), block, params, est, True,
+                local_grid(scan_sh, lo_sh),
+                block, params, est, True,
                 use_pallas=use_pallas, tile0=sid * Gd)
             d2b = jax.lax.dynamic_update_index_in_dim(d2b, d2, sid, 0)
             ixb = jax.lax.dynamic_update_index_in_dim(ixb, ix, sid, 0)
             scan_sh = jax.lax.ppermute(scan_sh, axis_name, perm)
-            pb_sh = jax.lax.ppermute(pb_sh, axis_name, perm)
-            return scan_sh, pb_sh, (sid - 1) % D, d2b, ixb
+            lo_sh = jax.lax.ppermute(lo_sh, axis_name, perm)
+            return scan_sh, lo_sh, (sid - 1) % D, d2b, ixb
 
         *_, d2b, ixb = jax.lax.fori_loop(
-            0, D, body, (grid.scan, grid.pbounds, my, d2b, ixb))
+            0, D, body, (grid.scan, grid.scan_lo, my, d2b, ixb))
         return d2b.reshape(D * Gd, QP), ixb.reshape(D * Gd, QP)
 
     qpool0, qidx0 = rebin(init_T)

@@ -38,7 +38,7 @@ def _setup(rng, est, m=4000, n=3000, radius=0.06):
         plan["dims"], plan["cap"], plan["kc"], est=est_code,
         tile=plan["tile"])
     qpool, qidx, _ = poolgrid.bin_queries_pool(
-        jnp.asarray(src), jnp.asarray(src), grid.origin,
+        jnp.asarray(src), jnp.eye(4, dtype=jnp.float32), grid.origin,
         grid.cell_size, grid.dims, plan["qp"], plan["tile"])
     params = poolgrid.make_params(
         jnp.eye(4, dtype=jnp.float32), jnp.float32(radius) ** 2, grid)
@@ -180,7 +180,8 @@ def test_query_pool_overflow_reported(rng):
     tgt = _cloud(rng, 2000)
     plan = poolgrid.plan_poolgrid(tgt, 0.05, margin=0.25)
     qpool, qidx, ndrop = poolgrid.bin_queries_pool(
-        jnp.asarray(src), jnp.asarray(src), jnp.asarray(plan["origin"]),
+        jnp.asarray(src), jnp.eye(4, dtype=jnp.float32),
+        jnp.asarray(plan["origin"]),
         plan["cell_size"], plan["dims"], 8, plan["tile"])
     assert int(ndrop) > 0
     assert int(ndrop) + int((np.asarray(qidx) >= 0).sum()) == 500
@@ -288,7 +289,8 @@ def test_colored_gicp_interpret_parity(rng):
             plan["cell_size"], plan["dims"], plan["cap"], plan["kc"],
             est=est_code, tile=plan["tile"])
         qpool, qidx, _ = poolgrid.bin_queries_pool(
-            jnp.asarray(src), jnp.asarray(src), grid.origin,
+            jnp.asarray(src), jnp.eye(4, dtype=jnp.float32),
+            grid.origin,
             grid.cell_size, grid.dims, plan["qp"], plan["tile"],
             extra=jnp.asarray(src_extra),
             n_extra=poolgrid.n_query_extra(est_code))

@@ -82,5 +82,5 @@ def test_ring_shard_plan_divisibility(rng):
         jnp.asarray(tgt), jnp.zeros((5000, 0), jnp.float32),
         plan["origin"], plan["cell_size"], plan["dims"], plan["cap"],
         plan["kc"], tile=plan["tile"], shards=8)
-    assert grid.scan.shape[0] == c_pad * 4
-    assert grid.pbounds.shape[0] % 8 == 0
+    assert grid.scan.shape[0] == (c_pad // plan["tile"]) * plan["kc"]
+    assert grid.n_tiles % 8 == 0
