@@ -74,7 +74,9 @@ def test_corres_matches_bruteforce(rng):
     # selection precision
     derr = np.abs(np.sqrt(d2s[found]) - np.sqrt(bd2[bfound]))
     assert derr.max() < 2e-3
-    assert (idxs[found] == bi[found]).mean() > 0.98
+    # corres passes select with split-precision (~f32) scores; only
+    # sub-quantum ties may disagree with the exact argmin
+    assert (idxs[found] == bi[found]).mean() > 0.995
 
 
 def test_interpret_kernel_parity(rng):
@@ -304,3 +306,36 @@ def test_colored_gicp_interpret_parity(rng):
         np.testing.assert_allclose(
             np.asarray(jnp.sum(sx, 0)), np.asarray(jnp.sum(si, 0)),
             rtol=3e-5, atol=2e-4)
+
+
+def test_registration_surfaces_drops_and_regrows(rng):
+    """A pathological density clump must degrade LOUDLY: drop counts
+    surface on RegistrationResult and the auto-regrow retry keeps the
+    alignment usable (VERDICT r3 item 9)."""
+    from cupoch_tpu.geometry import PointCloud
+    from cupoch_tpu.knn import KDTreeSearchParamHybrid
+    from cupoch_tpu.registration import (
+        TransformationEstimationPointToPlane,
+        registration_icp,
+    )
+    from cupoch_tpu.registration import registration as reg_mod
+
+    base = _cloud(rng, 24000)
+    clump = np.float32([[0.5, 0.5, 0.5]]) + rng.normal(
+        size=(4000, 3)).astype(np.float32) * 2e-3
+    tgt = np.concatenate([base, clump])
+    t = np.float32([0.003, -0.004, 0.002])
+    src = tgt - t
+    target = PointCloud(jnp.asarray(tgt))
+    target.estimate_normals(KDTreeSearchParamHybrid(0.05, 20))
+    source = PointCloud(jnp.asarray(src))
+    assert tgt.shape[0] > reg_mod._GRID_THRESHOLD
+    res = registration_icp(
+        source, target, 0.04,
+        estimation=TransformationEstimationPointToPlane())
+    # drop diagnostics exist on the result (0 after a successful
+    # regrow; > 0 when the clump exceeds even the regrown cap)
+    assert hasattr(res, "n_dropped_target")
+    assert hasattr(res, "n_dropped_queries")
+    assert res.fitness > 0.9
+    assert np.abs(res.transformation[:3, 3] - t).max() < 2e-3
