@@ -258,8 +258,13 @@ def plan_poolgrid(points: np.ndarray, radius: float,
     if qp > qp_limit:
         return None
     F = n_fields(est)
-    npts = int(finite.sum())
-    grid_bytes = c_pad * 4 * kc * 4 + c_pad * cap * 4 + npts * F * 4
+    # per-device bytes: scan + scan_lo ([4*C_pad, kc] bf16 total) are
+    # sharded by supertile under the ring path; the bin-ordered
+    # binfields table [C_pad*cap, F+1] f32 is replicated on every
+    # device (advisor r4: the old estimate undercounted binfields by
+    # (F+1)x on sparse grids and ignored replication)
+    grid_bytes = (c_pad * 4 * kc * 4) // shards \
+        + c_pad * cap * (F + 1) * 4
     if grid_bytes > mem_budget_bytes:
         return None
     origin = (lo - cell).astype(np.float32)
@@ -276,10 +281,18 @@ def plan_poolgrid(points: np.ndarray, radius: float,
 # within cell, scatter to slots)
 # ---------------------------------------------------------------------------
 
+SENTINEL_BIN = 1 << 24  # > any padded bin count (max_cells <= 2M)
+
+
 def _cell_key(points, origin, cell_size, dims, n_bins_div, mask=None):
     """(bin | 6-bit Morton) key; bin = linear_cell // n_bins_div.
-    Out-of-bounds / masked -> dropped sentinel."""
-    C = dims[0] * dims[1] * dims[2]
+    Out-of-bounds / masked -> dropped sentinel.
+
+    The sentinel bin must exceed the PADDED bin count seen by
+    _bin_to_slots, not just C // n_bins_div: query binning passes
+    n_bins = C_pad // tile >= C // tile, so a C-derived sentinel would
+    alias a real supertile whenever C % (tile * shards) != 0 and
+    masked queries would steal its pool slots (advisor r4, high)."""
     rel = (points - origin) / cell_size
     cell = jnp.floor(rel).astype(jnp.int32)
     inb = jnp.all((cell >= 0) & (cell < jnp.asarray(dims)), -1)
@@ -291,8 +304,8 @@ def _cell_key(points, origin, cell_size, dims, n_bins_div, mask=None):
         | ((sub[:, 2] & 2) << 2) \
         | ((sub[:, 0] & 1) << 2) | ((sub[:, 1] & 1) << 1) \
         | (sub[:, 2] & 1)
-    nb = C // n_bins_div
-    key = jnp.where(inb, (lin // n_bins_div) * 64 + m, nb * 64)
+    key = jnp.where(inb, (lin // n_bins_div) * 64 + m,
+                    SENTINEL_BIN * 64)
     return key, lin, inb
 
 
@@ -539,20 +552,6 @@ def make_params(T, r2, grid: PoolGrid, extra0=0.0, extra1=0.0):
         head, jnp.zeros(NPARAMS - head.shape[0], jnp.float32)])
 
 
-def _scan_blocks(NW: int, prefix: int, n_tail: int):
-    """Window block structure: `prefix` unconditional windows, then
-    the tail split into up to n_tail gated blocks."""
-    blocks = []
-    lo = prefix
-    if NW > lo:
-        step = _round_up(-(-(NW - lo) // n_tail), 1)
-        while lo < NW:
-            hi = min(lo + step, NW)
-            blocks.append((lo, hi))
-            lo = hi
-    return blocks
-
-
 def _make_slim_kernel(T: int, QP: int, KC: int, gb: int,
                       exact: bool):
     """Lanes-major slot kernel: QUERIES LIVE IN LANES, candidates in
@@ -671,48 +670,56 @@ def _slot_xla(grid: PoolGrid, qpool, params, exact: bool = False):
     """XLA mirror of the kernel's packed-key selection (CPU tests /
     non-TPU fallback); adding the 124 structurally-zero terms of the
     kernel's K=4T contraction is exact in fp, so results match to the
-    12-bit key quantum."""
+    12-bit key quantum. Runs per supertile under `lax.map` so the
+    gathered [KC, QP, 4] score tensor never materializes for all
+    supertiles at once (advisor r4: the all-G form needs >100 GB at
+    bench scale)."""
     G, CH, QP = qpool.shape
     KC = grid.kc
     T = grid.tile
     R = params[:9].reshape(3, 3)
     t = params[9:12]
     off = params[13]
-    tag = qpool[:, 3, :]
-    tcell = jnp.clip(tag, 0.0).astype(jnp.int32)
-    q = jnp.stack([qpool[:, 0, :], qpool[:, 1, :], qpool[:, 2, :]],
-                  -1)
-    cc = jnp.stack([qpool[:, 4, :], qpool[:, 5, :], qpool[:, 6, :]],
-                   -1)
-    tq = q @ R.T + t
-    e = tq - cc                               # [G, QP, 3]
-    Af = jnp.concatenate([e, jnp.ones_like(e[..., :1])], -1)
-    A = Af.astype(jnp.bfloat16)
-    # scan rows: (g, k) x (t, j) -> per-query cell rows
-    def take_rows(scan):
-        r = scan.reshape(G, KC, T, 4)
-        return jnp.take_along_axis(
-            r, tcell[:, None, :, None].astype(jnp.int32),
-            axis=2)                           # [G, KC, QP, 4]
+    scan_r = grid.scan.reshape(G, KC, T, 4)
+    scan_lo_r = grid.scan_lo.reshape(G, KC, T, 4) if exact else None
 
-    def dot(x, y):
-        return jnp.einsum("gqf,gkqf->gqk", x, y,
-                          preferred_element_type=jnp.float32)
+    def per_tile(args):
+        qp_g = args[0]                        # [CH, QP]
+        sh = args[1]                          # [KC, T, 4]
+        tag = qp_g[3, :]
+        tcell = jnp.clip(tag, 0.0).astype(jnp.int32)
+        q = jnp.stack([qp_g[0, :], qp_g[1, :], qp_g[2, :]], -1)
+        cc = jnp.stack([qp_g[4, :], qp_g[5, :], qp_g[6, :]], -1)
+        tq = q @ R.T + t
+        e = tq - cc                           # [QP, 3]
+        Af = jnp.concatenate([e, jnp.ones_like(e[..., :1])], -1)
+        A = Af.astype(jnp.bfloat16)
 
-    Bh = take_rows(grid.scan)
-    if exact:
-        # mirror the kernel's explicit three-pass split product
-        # (same add order -> bit-faithful on CPU)
-        Al = (Af - A.astype(jnp.float32)).astype(jnp.bfloat16)
-        Bl = take_rows(grid.scan_lo)
-        v = ((dot(A, Bh) + dot(A, Bl)) + dot(Al, Bh)) + off
-    else:
-        v = dot(A, Bh) + off
-    slots = jax.lax.broadcasted_iota(jnp.int32, (1, 1, KC), 2)
-    key = (jax.lax.bitcast_convert_type(v, jnp.int32)
-           & ~SLOT_MASK) | slots
-    m = jnp.min(key, -1)
-    return (m & SLOT_MASK).astype(jnp.float32)
+        def take_rows(s):
+            return jnp.take_along_axis(
+                s, tcell[None, :, None], axis=1)  # [KC, QP, 4]
+
+        def dot(x, y):
+            return jnp.einsum("qf,kqf->qk", x, y,
+                              preferred_element_type=jnp.float32)
+
+        Bh = take_rows(sh)
+        if exact:
+            # mirror the kernel's explicit three-pass split product
+            # (same add order -> bit-faithful on CPU)
+            Al = (Af - A.astype(jnp.float32)).astype(jnp.bfloat16)
+            Bl = take_rows(args[2])
+            v = ((dot(A, Bh) + dot(A, Bl)) + dot(Al, Bh)) + off
+        else:
+            v = dot(A, Bh) + off
+        slots = jax.lax.broadcasted_iota(jnp.int32, (1, KC), 1)
+        key = (jax.lax.bitcast_convert_type(v, jnp.int32)
+               & ~SLOT_MASK) | slots
+        m = jnp.min(key, -1)
+        return (m & SLOT_MASK).astype(jnp.float32)
+
+    xs = (qpool, scan_r) + ((scan_lo_r,) if exact else ())
+    return jax.lax.map(per_tile, xs)
 
 
 # ---------------------------------------------------------------------------

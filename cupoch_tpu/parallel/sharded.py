@@ -169,7 +169,7 @@ def ring_sharded_pool_icp_fn(mesh: Mesh, qp: int,
         in_specs=(P(POINTS_AXIS), P(POINTS_AXIS), P(POINTS_AXIS),
                   P(POINTS_AXIS), P(POINTS_AXIS), P(), P(), P(),
                   P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(POINTS_AXIS), P(), P(), P()),
+        out_specs=(P(), P(POINTS_AXIS), P(), P(), P(), P()),
         check_vma=False,
     )
 
@@ -252,10 +252,10 @@ def ring_sharded_registration_icp(
                   jnp.float32(relative_fitness),
                   jnp.float32(relative_rmse))
 
-    T, idx, fit, rmse, it = run()        # compile + warm
+    T, idx, fit, rmse, it, _nq = run()   # compile + warm
     _ = float(fit)
     t0 = time.perf_counter()
-    T, idx, fit, rmse, it = run()
+    T, idx, fit, rmse, it, _nq = run()
     _ = float(fit)
     dt = time.perf_counter() - t0
     return (np.asarray(T), float(fit), float(rmse), int(it), dt)

@@ -296,10 +296,6 @@ def icp_core_pool(
             src, T, grid.origin, grid.cell_size, grid.dims, qp,
             grid.tile, extra=src_aux, n_extra=n_extra, mask=src_mask)
 
-    def rebin(T):
-        qpool, qidx, _ = rebin_full(T)
-        return qpool, qidx
-
     def gn_pass(T, qpool):
         params = poolgrid.make_params(T, r2, grid, e0, e1)
         partial_sums = poolgrid.fused_pool_query(
@@ -309,19 +305,23 @@ def icp_core_pool(
             sums = jax.lax.psum(sums, axis_name)
         return sums
 
-    qpool0, qidx0, nq_dropped = rebin_full(init_T)
+    qpool0, qidx0, nq0 = rebin_full(init_T)
 
     def cond(state):
         it, done, *_ = state
         return (it < max_iteration) & (~done)
 
     def body(state):
-        it, done, T, T_bin, qpool, qidx, fit, rmse = state
+        it, done, T, T_bin, qpool, qidx, fit, rmse, nq = state
         disp = _displacement_bound(T, T_bin, corners)
-        qpool, qidx, T_bin = jax.lax.cond(
+        # every rebin's drop count feeds the running max: the
+        # loud-degradation diagnostic must see drops from LATER
+        # rebins after the transform drifts, not just the first
+        qpool, qidx, nq2, T_bin = jax.lax.cond(
             disp > rebin_margin,
-            lambda _: rebin(T) + (T,),
-            lambda _: (qpool, qidx, T_bin), None)
+            lambda _: rebin_full(T) + (T,),
+            lambda _: (qpool, qidx, jnp.int32(0), T_bin), None)
+        nq = jnp.maximum(nq, nq2)
         sums = gn_pass(T, qpool)
         fit2, rmse2 = _stats_from_sums(est_type, sums, n_src)
         converged = (jnp.abs(fit - fit2) < relative_fitness) & (
@@ -329,20 +329,22 @@ def icp_core_pool(
         U = _update_from_sums(est_type, sums)
         T_new = jnp.where(converged, T, U @ T)
         return (it + 1, converged, T_new, T_bin, qpool, qidx,
-                fit2, rmse2)
+                fit2, rmse2, nq)
 
     state0 = (jnp.int32(0), jnp.bool_(False),
               init_T.astype(jnp.float32), init_T.astype(jnp.float32),
-              qpool0, qidx0, jnp.float32(-1.0), jnp.float32(-1.0))
-    it, _, T, T_bin, qpool, qidx, _, _ = jax.lax.while_loop(
-        cond, body, state0)
+              qpool0, qidx0, jnp.float32(-1.0), jnp.float32(-1.0),
+              nq0)
+    it, _, T, T_bin, qpool, qidx, _, _, nq_dropped = \
+        jax.lax.while_loop(cond, body, state0)
 
     # final evaluation at the returned transform (matches the
     # reference: result metrics always correspond to the returned T)
     disp = _displacement_bound(T, T_bin, corners)
-    qpool, qidx = jax.lax.cond(
-        disp > rebin_margin, lambda _: rebin(T),
-        lambda _: (qpool, qidx), None)
+    qpool, qidx, nqf = jax.lax.cond(
+        disp > rebin_margin, lambda _: rebin_full(T),
+        lambda _: (qpool, qidx, jnp.int32(0)), None)
+    nq_dropped = jnp.maximum(nq_dropped, nqf)
     params = poolgrid.make_params(T, r2, grid)
     d2, idxf = poolgrid.fused_pool_query(grid, qpool, params, est,
                                          True, use_pallas=use_pallas)
@@ -403,7 +405,8 @@ def icp_core_pool_ring(
 
     Only scan rotates (the dominant grid bytes at bench shapes);
     the epilogue's compact binfields table stays replicated.
-    Returns (T, idx [Nd] int32 local, fitness, rmse, iterations)."""
+    Returns (T, idx [Nd] int32 local, fitness, rmse, iterations,
+    n_dropped_queries [psum over devices, max over rebins])."""
     D = n_shards
     Np = src.shape[0]
     est = _est_code(est_type)
@@ -431,10 +434,6 @@ def icp_core_pool_ring(
             src, T, grid.origin, grid.cell_size, grid.dims, qp,
             grid.tile, extra=src_aux, n_extra=n_extra, mask=src_mask,
             shards=D)
-
-    def rebin(T):
-        qpool, qidx, _ = rebin_full(T)
-        return qpool, qidx
 
     def ring_gn(T, qpool):
         params = poolgrid.make_params(T, r2, grid, e0, e1)
@@ -484,19 +483,20 @@ def icp_core_pool_ring(
             0, D, body, (grid.scan, grid.scan_lo, my, d2b, ixb))
         return d2b.reshape(D * Gd, QP), ixb.reshape(D * Gd, QP)
 
-    qpool0, qidx0 = rebin(init_T)
+    qpool0, qidx0, nq0 = rebin_full(init_T)
 
     def cond(state):
         it, done, *_ = state
         return (it < max_iteration) & (~done)
 
     def body(state):
-        it, done, T, T_bin, qpool, qidx, fit, rmse = state
+        it, done, T, T_bin, qpool, qidx, fit, rmse, nq = state
         disp = _displacement_bound(T, T_bin, corners)
-        qpool, qidx, T_bin = jax.lax.cond(
+        qpool, qidx, nq2, T_bin = jax.lax.cond(
             disp > rebin_margin,
-            lambda _: rebin(T) + (T,),
-            lambda _: (qpool, qidx, T_bin), None)
+            lambda _: rebin_full(T) + (T,),
+            lambda _: (qpool, qidx, jnp.int32(0), T_bin), None)
+        nq = jnp.maximum(nq, nq2)
         sums = ring_gn(T, qpool)
         fit2, rmse2 = _stats_from_sums(est_type, sums, n_src)
         converged = (jnp.abs(fit - fit2) < relative_fitness) & (
@@ -504,18 +504,21 @@ def icp_core_pool_ring(
         U = _update_from_sums(est_type, sums)
         T_new = jnp.where(converged, T, U @ T)
         return (it + 1, converged, T_new, T_bin, qpool, qidx,
-                fit2, rmse2)
+                fit2, rmse2, nq)
 
     state0 = (jnp.int32(0), jnp.bool_(False),
               init_T.astype(jnp.float32), init_T.astype(jnp.float32),
-              qpool0, qidx0, jnp.float32(-1.0), jnp.float32(-1.0))
-    it, _, T, T_bin, qpool, qidx, _, _ = jax.lax.while_loop(
-        cond, body, state0)
+              qpool0, qidx0, jnp.float32(-1.0), jnp.float32(-1.0),
+              nq0)
+    it, _, T, T_bin, qpool, qidx, _, _, nq_dropped = \
+        jax.lax.while_loop(cond, body, state0)
 
     disp = _displacement_bound(T, T_bin, corners)
-    qpool, qidx = jax.lax.cond(
-        disp > rebin_margin, lambda _: rebin(T),
-        lambda _: (qpool, qidx), None)
+    qpool, qidx, nqf = jax.lax.cond(
+        disp > rebin_margin, lambda _: rebin_full(T),
+        lambda _: (qpool, qidx, jnp.int32(0)), None)
+    nq_dropped = jax.lax.psum(
+        jnp.maximum(nq_dropped, nqf), axis_name)
     d2, idxf = ring_corres(T, qpool)
     ok = jnp.isfinite(d2) & (qidx >= 0)
     w = ok.astype(jnp.float32)
@@ -534,4 +537,4 @@ def icp_core_pool_ring(
         .at[slot].set(jnp.where(okq, idx_bin.reshape(-1),
                                 rungrid.INVALID_INDEX),
                       mode="drop")[:Np]
-    return T, idx_src, fit, rmse, it
+    return T, idx_src, fit, rmse, it, nq_dropped
