@@ -688,9 +688,13 @@ def _slot_xla(grid: PoolGrid, qpool, params, exact: bool = False):
         sh = args[1]                          # [KC, T, 4]
         tag = qp_g[3, :]
         tcell = jnp.clip(tag, 0.0).astype(jnp.int32)
-        q = jnp.stack([qp_g[0, :], qp_g[1, :], qp_g[2, :]], -1)
+        qx, qy, qz = qp_g[0, :], qp_g[1, :], qp_g[2, :]
         cc = jnp.stack([qp_g[4, :], qp_g[5, :], qp_g[6, :]], -1)
-        tq = q @ R.T + t
+        # explicit muls mirror the kernel's f32 VPU transform exactly
+        tq = jnp.stack(
+            [R[0, 0] * qx + R[0, 1] * qy + R[0, 2] * qz + t[0],
+             R[1, 0] * qx + R[1, 1] * qy + R[1, 2] * qz + t[1],
+             R[2, 0] * qx + R[2, 1] * qy + R[2, 2] * qz + t[2]], -1)
         e = tq - cc                           # [QP, 3]
         Af = jnp.concatenate([e, jnp.ones_like(e[..., :1])], -1)
         A = Af.astype(jnp.bfloat16)
@@ -920,9 +924,15 @@ def _epilogue(grid: PoolGrid, qpool, slotf, params, est: int,
     f = g[..., :-1]
     pidx = g[..., -1].astype(jnp.int32)
     ok0 = valid & in_lanes & (pidx >= 0)
-    q = jnp.stack([qpool[:, 0, :], qpool[:, 1, :], qpool[:, 2, :]],
-                  -1)
-    tq = q @ R.T + t
+    # explicit per-axis muls (VPU f32), NOT a matmul: the TPU default
+    # bf16 MXU pass would round the transformed coordinates to ~8
+    # mantissa bits and the "exact" residuals would carry ~4e-3
+    # absolute noise at metre scale
+    qx, qy, qz = qpool[:, 0, :], qpool[:, 1, :], qpool[:, 2, :]
+    tq = jnp.stack(
+        [R[0, 0] * qx + R[0, 1] * qy + R[0, 2] * qz + t[0],
+         R[1, 0] * qx + R[1, 1] * qy + R[1, 2] * qz + t[1],
+         R[2, 0] * qx + R[2, 1] * qy + R[2, 2] * qz + t[2]], -1)
     d = tq - f[..., :3]
     d2 = jnp.sum(d * d, -1)
     ok = ok0 & (d2 <= r2)

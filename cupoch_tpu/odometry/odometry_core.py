@@ -66,13 +66,16 @@ def compute_correspondence(depth_s, depth_t, K, T, max_depth_diff):
     R = T[:3, :3]
     t = T[:3, 3]
     K_inv = jnp.linalg.inv(K)
-    KRK_inv = K @ R @ K_inv
-    Kt = K @ t
+    hi = jax.lax.Precision.HIGHEST
+    KRK_inv = jnp.matmul(jnp.matmul(K, R, precision=hi), K_inv,
+                         precision=hi)
+    Kt = jnp.matmul(K, t, precision=hi)
     d_s = depth_s
     valid_s = jnp.isfinite(d_s)
     ds0 = jnp.where(valid_s, d_s, 0.0)
     uvw = jnp.stack([uu, vv, jnp.ones_like(uu)], -1)  # [H,W,3]
-    proj = ds0[..., None] * (uvw @ KRK_inv.T) + Kt
+    proj = ds0[..., None] * jnp.matmul(
+        uvw, KRK_inv.T, precision=jax.lax.Precision.HIGHEST) + Kt
     z = proj[..., 2]
     safe_z = jnp.where(jnp.abs(z) > 1e-8, z, 1.0)
     u_t = jnp.floor(proj[..., 0] / safe_z + 0.5).astype(jnp.int32)
@@ -181,7 +184,9 @@ def _reduce_system(J0, r0, J1, r1, w):
     r1f = r1.reshape(-1)
     JTJ = (jnp.dot(J0f.T, J0u, precision=jax.lax.Precision.HIGHEST)
            + jnp.dot(J1f.T, J1u, precision=jax.lax.Precision.HIGHEST))
-    JTr = J0f.T @ r0f + J1f.T @ r1f
+    hi = jax.lax.Precision.HIGHEST
+    JTr = jnp.matmul(J0f.T, r0f, precision=hi) \
+        + jnp.matmul(J1f.T, r1f, precision=hi)
     wf = w.reshape(-1)
     r2 = jnp.sum(wf * (r0f * r0f + r1f * r1f))
     return JTJ, JTr, r2
@@ -209,7 +214,8 @@ def level_odometry(src_color, src_depth, tgt_color, tgt_depth,
             dx_color, dx_depth, dy_color, dy_depth, K, T, u_t, v_t, ok)
         JTJ, JTr, r2 = _reduce_system(J0, r0, J1, r1, w)
         solved, delta = ueigen.solve_jacobian_system(JTJ, JTr)
-        T_new = jnp.where(solved, delta @ T, T)
+        T_new = jnp.where(solved, jnp.matmul(
+            delta, T, precision=jax.lax.Precision.HIGHEST), T)
         return T_new, solved
 
     T, ok = jax.lax.fori_loop(0, n_iter, body, (T_init, jnp.bool_(True)))
@@ -249,8 +255,12 @@ def level_odometry_weighted(src_color, src_depth, tgt_color, tgt_depth,
         cv_twist = log_se3(curr_vel)
         JTr = JTr - inv_sigma_diag * (prev_twist - cv_twist)
         solved, delta = ueigen.solve_jacobian_system(JTJ, JTr)
-        T_new = jnp.where(solved, delta @ T, T)
-        curr_vel_new = jnp.where(solved, delta @ curr_vel, curr_vel)
+        hi = jax.lax.Precision.HIGHEST
+        T_new = jnp.where(solved,
+                          jnp.matmul(delta, T, precision=hi), T)
+        curr_vel_new = jnp.where(
+            solved, jnp.matmul(delta, curr_vel, precision=hi),
+            curr_vel)
         return T_new, curr_vel_new, w_sum
 
     T, curr_vel, sigma2 = jax.lax.fori_loop(

@@ -29,7 +29,8 @@ def _displacement_bound(T, T_bin, corners):
     """max_x in AABB |(T - T_bin) @ [x,1]| — affine in x, so the max
     over the box is attained at a corner. corners: [8, 3]."""
     D = T - T_bin
-    d = corners @ D[:3, :3].T + D[:3, 3]
+    d = jnp.matmul(corners, D[:3, :3].T,
+                   precision=jax.lax.Precision.HIGHEST) + D[:3, 3]
     return jnp.sqrt(jnp.max(jnp.sum(d * d, -1)))
 
 
@@ -99,10 +100,11 @@ def kabsch_from_sums(sums) -> jax.Array:
     H = Stp / cnt - jnp.outer(t_mean, p_mean)
     U, S, Vt = jnp.linalg.svd(H)
     V = Vt.T
-    det = jnp.linalg.det(V @ U.T)
+    hi = jax.lax.Precision.HIGHEST
+    det = jnp.linalg.det(jnp.matmul(V, U.T, precision=hi))
     D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(det)
-    R = V @ D @ U.T
-    t = p_mean - R @ t_mean
+    R = jnp.matmul(jnp.matmul(V, D, precision=hi), U.T, precision=hi)
+    t = p_mean - jnp.matmul(R, t_mean, precision=hi)
     T = make_transform(R, t)
     ok = (sums[0] >= 3) & jnp.all(jnp.isfinite(T))
     return jnp.where(ok, T, jnp.eye(4, dtype=jnp.float32))
@@ -208,7 +210,8 @@ def icp_core_rungrid(
         converged = (jnp.abs(fit - fit2) < relative_fitness) & (
             jnp.abs(rmse - rmse2) < relative_rmse) & (it > 0)
         U = _update_from_sums(est_type, sums)
-        T_new = jnp.where(converged, T, U @ T)
+        T_new = jnp.where(converged, T, jnp.matmul(
+            U, T, precision=jax.lax.Precision.HIGHEST))
         return (it + 1, converged, T_new, T_bin, qsoa, qidx,
                 fit2, rmse2)
 
@@ -327,7 +330,8 @@ def icp_core_pool(
         converged = (jnp.abs(fit - fit2) < relative_fitness) & (
             jnp.abs(rmse - rmse2) < relative_rmse) & (it > 0)
         U = _update_from_sums(est_type, sums)
-        T_new = jnp.where(converged, T, U @ T)
+        T_new = jnp.where(converged, T, jnp.matmul(
+            U, T, precision=jax.lax.Precision.HIGHEST))
         return (it + 1, converged, T_new, T_bin, qpool, qidx,
                 fit2, rmse2, nq)
 
@@ -502,7 +506,8 @@ def icp_core_pool_ring(
         converged = (jnp.abs(fit - fit2) < relative_fitness) & (
             jnp.abs(rmse - rmse2) < relative_rmse) & (it > 0)
         U = _update_from_sums(est_type, sums)
-        T_new = jnp.where(converged, T, U @ T)
+        T_new = jnp.where(converged, T, jnp.matmul(
+            U, T, precision=jax.lax.Precision.HIGHEST))
         return (it + 1, converged, T_new, T_bin, qpool, qidx,
                 fit2, rmse2, nq)
 

@@ -37,10 +37,11 @@ def kabsch_weighted(
     H = jnp.dot(sc.T, dc, precision=jax.lax.Precision.HIGHEST) / wsum  # [3,3]
     U, S, Vt = jnp.linalg.svd(H)
     V = Vt.T
-    det = jnp.linalg.det(V @ U.T)
+    hi = jax.lax.Precision.HIGHEST
+    det = jnp.linalg.det(jnp.matmul(V, U.T, precision=hi))
     D = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], src.dtype)).at[2, 2].set(det)
-    R = V @ D @ U.T
-    t = dst_c - R @ src_c
+    R = jnp.matmul(jnp.matmul(V, D, precision=hi), U.T, precision=hi)
+    t = dst_c - jnp.matmul(R, src_c, precision=hi)
     T = make_transform(R, t)
     ok = (jnp.sum(w > 0) >= 3) & jnp.all(jnp.isfinite(T))
     return jnp.where(ok, T, jnp.eye(4, dtype=src.dtype))

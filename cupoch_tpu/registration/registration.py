@@ -72,6 +72,14 @@ class RegistrationResult:
 # ---------------------------------------------------------------------------
 
 _GRID_THRESHOLD = 20000  # below this, brute-force 1-NN is faster than the grid
+# When every grid plan rejects (surface scans with a huge search
+# radius concentrate all points in a handful of cells — the KinFu
+# regime, distance_threshold=0.5 on a 2 m scene), a tiled MXU
+# brute-force pass is both exact and fast up to this many target
+# points (~50 GFLOP per ICP iteration at KinFu shapes); the hash grid
+# with its fixed bucket_cap=32 would silently drop nearly all
+# candidates there (observed: 18k-point buckets).
+_BRUTE_FALLBACK_MAX = 200_000
 
 
 def _correspondence_fn(tgt, tgt_mask, max_dist, use_grid, grid=None,
@@ -180,7 +188,11 @@ def _icp_core(
         ti = jnp.clip(idx, 0, M - 1)
         w = ok.astype(jnp.float32)
         update = compute_update(T, src_t, ti, w)
-        T = update @ T
+        # HIGHEST: TPU bf16 default would contract the rotation by
+        # ~0.4% per composition — after 20 iterations the "rigid"
+        # transform collapses the cloud (seen as diag 0.97^n on v5e)
+        T = jnp.matmul(update, T,
+                       precision=jax.lax.Precision.HIGHEST)
         _, idx2, ok2, fit2, rmse2 = eval_state(T)
         converged = (jnp.abs(fit - fit2) < relative_fitness) & (
             jnp.abs(rmse - rmse2) < relative_rmse
@@ -242,6 +254,8 @@ def _choose_corres(target, tgt_padded, tgt_mask, max_dist):
             jnp.asarray(cplan["active"]), cplan["dims"], cplan["cap"],
             cplan["n_active"], mask=tgt_mask)
         return "cell", grid
+    if n <= _BRUTE_FALLBACK_MAX:
+        return False, None
     return True, None
 
 

@@ -45,8 +45,8 @@ def compute_jtj_jtr(
         Jm, rm = J, r
     Jf = Jm.reshape(-1, J.shape[-1])
     rf = rm.reshape(-1)
-    JTJ = Jf.T @ Jf
-    JTr = Jf.T @ rf
+    JTJ = jnp.matmul(Jf.T, Jf, precision=jax.lax.Precision.HIGHEST)
+    JTr = jnp.matmul(Jf.T, rf, precision=jax.lax.Precision.HIGHEST)
     r2 = jnp.sum(rf * rf)
     count = (jnp.sum(mask) * r.shape[-1]) if mask is not None else rf.shape[0]
     return JTJ, JTr, r2, count
