@@ -14,25 +14,45 @@ detail.tracking_frames_per_s re-uses one target grid across frames
 (the KinFu/SLAM tracking regime — the reference likewise builds its
 kd-tree once per model update, registration.cu:121).
 
-detail.suite carries the rest of the BASELINE evidence (VERDICT r3
-item 3): fragment.pcd ICP matching the reference's own benchmark
+detail.suite carries the rest of the BASELINE evidence: fragment.pcd
+ICP matching the reference's own benchmark
 (examples/python/basic/benchmarks.py:63-83), the FPFH+FGR pipeline
-(config #2), RGB-D odometry + ATE on the bundled sequence (config
-#3), and KinFu frame processing (config #4).
+(config #2), RGB-D odometry + sequence ATE with its pass/fail bound
+(config #3), and KinFu frame processing (config #4). Each suite entry
+runs in its OWN subprocess (``python bench.py --entry NAME``) so a
+kernel fault in one entry cannot take down the rest (VERDICT r4 #1:
+in round 4 a KinFu fault also wiped the ATE number).
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 TESTDATA = "/root/reference/examples/testdata"
+ATE_BOUND_M = 0.05  # accuracy obligation: the bundled 5-frame RGB-D
+# sequence must track within 5 cm ATE RMSE of trajectory.log — the
+# regime cupoch's own hybrid odometry achieves on this data
+# (BASELINE.md: "match cupoch trajectories within its ATE bound")
+
+SUITE_ENTRIES = ["fragment", "fgr", "rgbd_odometry", "kinfu", "ate"]
+ENTRY_TIMEOUT_S = 1800
 
 
 def _sync(x):
     import jax
     leaf = jax.tree_util.tree_leaves(x)[0]
     _ = np.asarray(leaf).ravel()[:1]
+
+
+def _setup_jax():
+    import jax
+    try:  # persistent compile cache: keeps driver reruns fast
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
 
 
 def bench_headline():
@@ -124,6 +144,16 @@ def bench_headline():
         _sync(g.off)
         build_s = min(build_s, time.perf_counter() - t0)
 
+    # roofline accounting for the measured loop (VERDICT r4 #2c):
+    # per GN pass the kernel streams the scan table once per supertile
+    # grid step plus the qpool + gather traffic of the epilogue
+    G = plan and (int(np.prod(plan["dims"])) + plan["tile"] - 1) \
+        // plan["tile"]
+    scan_bytes = 4 * int(np.prod(plan["dims"])) * plan["kc"] * 2
+    iters_run = max(int(it), 1)
+    pass_s = track_dt / iters_run
+    bw = scan_bytes / pass_s / 1e9
+
     baseline_fps = 2.5  # reconstructed GTX1070 full-ICP rate @1M pts
     import jax as _jax
     return {
@@ -141,6 +171,8 @@ def bench_headline():
             "grid_build_s": round(build_s, 4),
             "icp_loop_s": round(dt - build_s, 4),
             "tracking_frames_per_s": round(1.0 / track_dt, 4),
+            "pass_ms": round(pass_s * 1e3, 2),
+            "scan_stream_gb_per_s": round(bw, 1),
             "kc": plan["kc"],
             "qp": plan["qp"],
             "tile": plan["tile"],
@@ -149,71 +181,59 @@ def bench_headline():
     }
 
 
-def bench_suite():
-    """The remaining BASELINE configs; each entry is seconds per run
-    (min of 2 after warmup) or an accuracy number. Failures are
-    recorded as strings rather than aborting the headline."""
-    import jax.numpy as jnp
+# ---------------------------------------------------------------------------
+# suite entries — each runs standalone in its own subprocess
+# ---------------------------------------------------------------------------
 
-    suite = {}
+def entry_fragment():
+    """Config #1b: the reference's own benchmark
+    (benchmarks.py:63-83 — registration_icp on fragment.pcd against a
+    30-degree-rotated copy, pt2pt, thr 0.02)."""
+    from cupoch_tpu import io, registration
+    from cupoch_tpu.geometry import PointCloud
 
-    def timed(name, fn, reps=2):
-        try:
-            out = fn()
-            _sync(out)
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                out = fn()
-                _sync(out)
-                best = min(best, time.perf_counter() - t0)
-            suite[name] = round(best, 4)
-            return out
-        except Exception as e:  # pragma: no cover - defensive bench
-            suite[name] = f"error: {type(e).__name__}: {e}"
-            return None
+    pcd = io.read_point_cloud(os.path.join(TESTDATA, "fragment.pcd"))
+    a = np.deg2rad(30.0)
+    trans_init = np.asarray(
+        [[np.cos(a), -np.sin(a), 0, 0], [np.sin(a), np.cos(a), 0, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    tgt = PointCloud(np.asarray(pcd.points))
+    tgt.transform(trans_init)
 
-    # config #1b: the reference's own benchmark cloud
-    # (examples/python/basic/benchmarks.py:63-83 — registration_icp
-    # on fragment.pcd against a 30-degree-rotated copy)
-    frag = os.path.join(TESTDATA, "fragment.pcd")
-    if os.path.exists(frag):
-        from cupoch_tpu import io, registration
-        from cupoch_tpu.geometry import PointCloud
+    def run():
+        return registration.registration_icp(
+            pcd, tgt, 0.02, trans_init,
+            registration.TransformationEstimationPointToPoint())
 
-        pcd = io.read_point_cloud(frag)
-        suite["fragment_points"] = len(pcd)
-        a = np.deg2rad(30.0)
-        trans_init = np.asarray(
-            [[np.cos(a), -np.sin(a), 0, 0], [np.sin(a), np.cos(a), 0, 0],
-             [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
-        tgt = PointCloud(np.asarray(pcd.points))
-        tgt.transform(trans_init)
+    res = run()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = run()
+        best = min(best, time.perf_counter() - t0)
+    return {"fragment_points": len(pcd),
+            "fragment_icp_pt2pt_s": round(best, 4),
+            "fragment_fitness": round(res.fitness, 4)}
 
-        def _frag_icp():
-            return registration.registration_icp(
-                pcd, tgt, 0.02, trans_init,
-                registration.TransformationEstimationPointToPoint()
-            ).transformation
 
-        timed("fragment_icp_pt2pt_s", _frag_icp)
+def entry_fgr():
+    """Config #2: voxel-downsample + normals + FPFH + FGR pipeline."""
+    from cupoch_tpu.geometry import PointCloud
+    from cupoch_tpu.knn import KDTreeSearchParamHybrid
+    from cupoch_tpu.registration import (
+        FastGlobalRegistrationOption,
+        compute_fpfh_feature,
+        fast_global_registration,
+    )
 
-    # config #2: voxel-downsample + FPFH + FGR pipeline
-    def _fgr():
-        from cupoch_tpu.geometry import PointCloud
-        from cupoch_tpu.knn import KDTreeSearchParamHybrid
-        from cupoch_tpu.registration import (
-            FastGlobalRegistrationOption,
-            compute_fpfh_feature,
-            fast_global_registration,
-        )
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(size=(120_000, 3)).astype(np.float32)
+    a = np.deg2rad(20.0)
+    Rz = np.asarray([[np.cos(a), -np.sin(a), 0],
+                     [np.sin(a), np.cos(a), 0], [0, 0, 1]],
+                    np.float32)
 
-        rng = np.random.default_rng(0)
-        pts = rng.uniform(size=(120_000, 3)).astype(np.float32)
-        a = np.deg2rad(20.0)
-        Rz = np.asarray([[np.cos(a), -np.sin(a), 0],
-                         [np.sin(a), np.cos(a), 0], [0, 0, 1]],
-                        np.float32)
+    def run():
         s = PointCloud(pts).voxel_down_sample(0.02)
         t = PointCloud(pts @ Rz.T).voxel_down_sample(0.02)
         s.estimate_normals(KDTreeSearchParamHybrid(0.06, 30))
@@ -223,70 +243,123 @@ def bench_suite():
         return fast_global_registration(
             s, t, fs, ft, FastGlobalRegistrationOption()).transformation
 
-    timed("fgr_pipeline_s", _fgr, reps=1)
+    _ = run()          # warm
+    t0 = time.perf_counter()
+    _ = run()
+    return {"fgr_pipeline_s": round(time.perf_counter() - t0, 4)}
 
-    # config #3: RGB-D odometry + #4: KinFu on the bundled sequence
-    rgbd_dir = os.path.join(TESTDATA, "rgbd")
-    if os.path.exists(rgbd_dir):
+
+def _load_rgbd(k):
+    import glob
+
+    from cupoch_tpu import io
+    from cupoch_tpu.geometry import RGBDImage
+
+    colors = sorted(glob.glob(os.path.join(TESTDATA, "rgbd/color/*")))
+    depths = sorted(glob.glob(os.path.join(TESTDATA, "rgbd/depth/*")))
+    return [RGBDImage.create_from_color_and_depth(
+        io.read_image(c), io.read_image(d))
+        for c, d in zip(colors[:k], depths[:k])]
+
+
+def entry_rgbd_odometry():
+    """Config #3 (speed half): hybrid RGB-D odometry, one frame pair."""
+    from cupoch_tpu import io
+    from cupoch_tpu.odometry import compute_rgbd_odometry
+
+    intr = io.read_pinhole_camera_intrinsic(
+        os.path.join(TESTDATA, "camera_primesense.json"))
+    f0, f1 = _load_rgbd(2)
+
+    def run():
+        return compute_rgbd_odometry(f1, f0, intr)[1]
+
+    _sync(run())
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _sync(run())
+        best = min(best, time.perf_counter() - t0)
+    return {"rgbd_odometry_s": round(best, 4)}
+
+
+def entry_kinfu():
+    """Config #4: KinFu TSDF + raycast frame-to-model tracking,
+    3 frames (reference loop: kinfu.cpp:51-76)."""
+    from cupoch_tpu import io
+    from cupoch_tpu.kinfu import KinfuOption, KinfuPipeline
+
+    intr = io.read_pinhole_camera_intrinsic(
+        os.path.join(TESTDATA, "camera_primesense.json"))
+    frames = _load_rgbd(3)
+
+    def run():
+        opt = KinfuOption(num_pyramid_levels=2,
+                          tsdf_length=4.0, tsdf_resolution=128)
+        pipe = KinfuPipeline(intr, opt)
+        for f in frames:
+            pipe.process_frame(f)
+        return pipe.cur_pose
+
+    _ = run()          # warm/compile
+    t0 = time.perf_counter()
+    pose = run()
+    return {"kinfu_3frames_s": round(time.perf_counter() - t0, 4),
+            "kinfu_pose_finite": bool(np.isfinite(pose).all())}
+
+
+def entry_ate():
+    """Config #3 (accuracy half): chained odometry ATE RMSE vs the
+    bundled trajectory.log, with the BASELINE pass/fail bound."""
+    from cupoch_tpu.bench.ate import run_sequence
+
+    t0 = time.perf_counter()
+    ate, nframes = run_sequence(TESTDATA)
+    return {"odometry_ate_m": round(float(ate), 4),
+            "odometry_ate_frames": int(nframes),
+            "odometry_ate_bound_m": ATE_BOUND_M,
+            "odometry_ate_bound_ok": bool(ate <= ATE_BOUND_M),
+            "odometry_ate_total_s": round(time.perf_counter() - t0, 2)}
+
+
+def run_entry(name):
+    _setup_jax()
+    fn = globals()[f"entry_{name}"]
+    print("BENCH_ENTRY_JSON " + json.dumps(fn()))
+
+
+def bench_suite():
+    """Run each entry in a subprocess; merge their JSON outputs.
+    A crash/timeout in one entry records an error string for its
+    metrics and the rest still run."""
+    suite = {}
+    for name in SUITE_ENTRIES:
         try:
-            import glob
-
-            from cupoch_tpu import io
-            from cupoch_tpu.camera import PinholeCameraIntrinsic
-            from cupoch_tpu.geometry import RGBDImage
-            from cupoch_tpu.odometry import compute_rgbd_odometry
-
-            intr = io.read_pinhole_camera_intrinsic(
-                os.path.join(TESTDATA, "camera_primesense.json"))
-            colors = sorted(glob.glob(os.path.join(rgbd_dir, "color/*")))
-            depths = sorted(glob.glob(os.path.join(rgbd_dir, "depth/*")))
-            f0 = RGBDImage.create_from_color_and_depth(
-                io.read_image(colors[0]), io.read_image(depths[0]))
-            f1 = RGBDImage.create_from_color_and_depth(
-                io.read_image(colors[1]), io.read_image(depths[1]))
-
-            timed("rgbd_odometry_s",
-                  lambda: compute_rgbd_odometry(f1, f0, intr)[1])
-
-            from cupoch_tpu.kinfu import KinfuOption, KinfuPipeline
-
-            def _kinfu():
-                opt = KinfuOption(num_pyramid_levels=2,
-                                  tsdf_length=4.0, tsdf_resolution=128)
-                pipe = KinfuPipeline(intr, opt)
-                for c, d in zip(colors[:3], depths[:3]):
-                    pipe.process_frame(
-                        RGBDImage.create_from_color_and_depth(
-                            io.read_image(c), io.read_image(d)))
-                return pipe.cur_pose
-
-            timed("kinfu_3frames_s", _kinfu, reps=1)
-        except Exception as e:
-            suite["rgbd"] = f"error: {type(e).__name__}: {e}"
-
-        try:
-            from cupoch_tpu.bench.ate import run_sequence
-
-            t0 = time.perf_counter()
-            ate, nframes = run_sequence(TESTDATA)
-            suite["odometry_ate_m"] = round(float(ate), 4)
-            suite["odometry_ate_frames"] = int(nframes)
-            suite["odometry_ate_total_s"] = round(
-                time.perf_counter() - t0, 2)
-        except Exception as e:
-            suite["odometry_ate_m"] = f"error: {type(e).__name__}: {e}"
-
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--entry", name],
+                capture_output=True, text=True,
+                timeout=ENTRY_TIMEOUT_S)
+            payload = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("BENCH_ENTRY_JSON "):
+                    payload = json.loads(
+                        line[len("BENCH_ENTRY_JSON "):])
+            if payload is None:
+                tail = (proc.stderr or proc.stdout or "").strip() \
+                    .splitlines()[-3:]
+                suite[name] = "error: " + " | ".join(tail)[-300:]
+            else:
+                suite.update(payload)
+        except subprocess.TimeoutExpired:
+            suite[name] = f"error: timeout after {ENTRY_TIMEOUT_S}s"
+        except Exception as e:  # pragma: no cover - defensive bench
+            suite[name] = f"error: {type(e).__name__}: {e}"
     return suite
 
 
 def main():
-    import jax
-
-    try:  # persistent compile cache: keeps driver reruns fast
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-    except Exception:
-        pass
-
+    _setup_jax()
     out = bench_headline()
     if os.environ.get("BENCH_HEADLINE_ONLY", "") != "1":
         out["detail"]["suite"] = bench_suite()
@@ -294,4 +367,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--entry":
+        run_entry(sys.argv[2])
+    else:
+        main()

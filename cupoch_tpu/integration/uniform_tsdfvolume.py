@@ -81,12 +81,22 @@ class UniformTSDFVolume(TSDFVolume):
         super().__init__(length / float(resolution), sdf_trunc, color_type)
         self.length = float(length)
         self.resolution = int(resolution)
+        # reference parity: cupoch's uniform volume is CENTERED on
+        # `origin` — every functor offsets indices by resolution/2
+        # (integrate_functor.h:188-189, uniform_tsdfvolume.cu:120-155
+        # "point - h_res", raycast grid_idx "+ h_res"). Kernels here
+        # take the MIN-CORNER, so translate once at the boundary.
         self.origin = np.asarray(origin, np.float32)
         self.reset()
 
     @property
     def voxel_num(self) -> int:
         return self.resolution ** 3
+
+    @property
+    def corner(self) -> np.ndarray:
+        """Min-corner of the (centered) volume in world frame."""
+        return (self.origin - 0.5 * self.length).astype(np.float32)
 
     def reset(self):
         R = self.resolution
@@ -118,7 +128,7 @@ class UniformTSDFVolume(TSDFVolume):
             jnp.asarray(intrinsic.intrinsic_matrix, jnp.float32),
             jnp.asarray(extrinsic, jnp.float32),
             jnp.float32(self.voxel_length), jnp.float32(self.sdf_trunc),
-            jnp.asarray(self.origin, jnp.float32),
+            jnp.asarray(self.corner, jnp.float32),
             self.resolution, channels)
         return self
 
@@ -138,7 +148,7 @@ class UniformTSDFVolume(TSDFVolume):
         trims the padded output."""
         mask, frac, grad = tsdf_ops.surface_crossings(
             self.tsdf, self.weight, jnp.float32(self.voxel_length),
-            jnp.asarray(self.origin), self.resolution)
+            jnp.asarray(self.corner), self.resolution)
         flat = mask.reshape(-1)
         count = int(jnp.sum(flat))
         if count == 0:
@@ -152,7 +162,7 @@ class UniformTSDFVolume(TSDFVolume):
         jj = (lin // C3) % C3
         ii = lin // (C3 * C3)
         base = (jnp.stack([ii, jj, kk], -1).astype(jnp.float32) + 0.5) \
-            * self.voxel_length + jnp.asarray(self.origin)
+            * self.voxel_length + jnp.asarray(self.corner)
         fr = frac.reshape(-1)[ids] * self.voxel_length
         offs = jnp.where(jnp.arange(3)[None, :] == aa[:, None],
                          fr[:, None], 0.0)
@@ -179,7 +189,7 @@ class UniformTSDFVolume(TSDFVolume):
         sel = (w != 0.0) & (f < 0.98) & (f >= -0.98)
         ii, jj, kk = np.nonzero(sel)
         pts = (np.stack([ii, jj, kk], -1).astype(np.float32) + 0.5) \
-            * self.voxel_length + self.origin
+            * self.voxel_length + self.corner
         pcd = PointCloud(pts)
         c = (f[sel] + 1.0) * 0.5
         pcd.colors = np.stack([c, c, c], -1)
@@ -196,7 +206,7 @@ class UniformTSDFVolume(TSDFVolume):
         capacity bucket and trims the padded output."""
         return mesh_from_mc_device(
             self.tsdf[None], self.weight[None], self.color[None],
-            np.asarray([self.origin], np.float32),
+            np.asarray([self.corner], np.float32),
             np.zeros((1, 3), np.int32), self.voxel_length,
             self.resolution, self.color_type)
 
@@ -213,7 +223,7 @@ class UniformTSDFVolume(TSDFVolume):
             self.tsdf, self.weight, self.color,
             jnp.asarray(intrinsic.intrinsic_matrix, jnp.float32),
             jnp.asarray(cam_to_world), jnp.float32(self.voxel_length),
-            jnp.float32(sdf_trunc), jnp.asarray(self.origin),
+            jnp.float32(sdf_trunc), jnp.asarray(self.corner),
             H=intrinsic.height, W=intrinsic.width, max_steps=max_steps)
         pts = np.asarray(pts)
         normals = np.asarray(normals)

@@ -1002,6 +1002,27 @@ def knn_rungrid(grid: RunGrid, queries, k: int, qcap: int, radius,
     return out_idx, out_d2
 
 
+_GRID_CACHE_MAX = 4
+_grid_cache: "dict" = {}  # fingerprint -> (grid, qcap, cell)
+
+
+def _data_fingerprint(data_np, data_mask) -> tuple:
+    """Cheap content key for grid reuse across pipeline stages
+    (estimate_normals -> FPFH -> FGR run kNN on the SAME cloud;
+    re-planning/rebuilding per call dominated the FGR pipeline,
+    VERDICT r4 #6). Samples 64 strided rows, not the whole cloud."""
+    n = data_np.shape[0]
+    step = max(1, n // 64)
+    sample = np.ascontiguousarray(data_np[::step][:64])
+    import zlib
+    return (n, data_np.shape[1], zlib.crc32(sample.tobytes()),
+            None if data_mask is None else int(np.sum(data_mask)))
+
+
+def clear_grid_cache():
+    _grid_cache.clear()
+
+
 def knn_search_grid(queries_np, data_np, k: int,
                     radius: Optional[float] = None,
                     data_mask=None, max_retries: int = 3):
@@ -1010,6 +1031,10 @@ def knn_search_grid(queries_np, data_np, k: int,
     Host wrapper (precompute API, not for jit loops): picks the cell
     so ~k neighbors fit in a 27-neighborhood, verifies every query
     found k in-coverage neighbors, and regrows the grid when not.
+    A small content-keyed cache reuses the built grid across calls on
+    the same cloud (the acceptance test below makes reuse exact: a
+    cached grid either yields provably-complete neighbor lists for
+    the new (k, radius) or we fall through to a fresh build).
     Returns (idx [Q,k] int32, d2 [Q,k]) or None when a dense grid is
     unreasonable for this cloud (caller falls back to brute force).
     """
@@ -1019,6 +1044,34 @@ def knn_search_grid(queries_np, data_np, k: int,
     finite = np.isfinite(data_np).all(-1)
     if not finite.any():
         return None
+    r_cap = float(radius) if radius is not None else np.inf
+    kneed = min(k, n)
+
+    def accept(idx, d2, r_eff):
+        found = np.asarray((idx >= 0).sum(-1))
+        if radius is not None:
+            # hybrid semantics: short lists are legal when fewer than
+            # k data points lie within `radius`; a list is only
+            # suspect when it is short AND the k-th distance could
+            # exceed coverage
+            return r_eff >= r_cap or (found >= kneed).all()
+        return (found >= kneed).all()
+
+    q_j = jnp.asarray(queries_np, jnp.float32)
+    key = _data_fingerprint(data_np, data_mask)
+    cached = _grid_cache.get(key)
+    if cached is not None:
+        grid, qcap, cell = cached
+        idx, d2 = knn_rungrid(grid, q_j, k, qcap,
+                              jnp.float32(min(cell, r_cap)))
+        # stricter than `accept`: the cached qcap was sized for a
+        # DIFFERENT query set, so a query dropped by pool overflow
+        # (all-empty row) must force a fresh build even when the
+        # cached cell already covers the requested radius
+        found = np.asarray((idx >= 0).sum(-1))
+        if (found >= min(kneed, 1)).all() and accept(idx, d2, cell):
+            return idx, d2
+
     lo, hi = data_np[finite].min(0), data_np[finite].max(0)
     vol = float(np.prod(np.maximum(hi - lo, 1e-9)))
     density = max(n / max(vol, 1e-12), 1e-12)
@@ -1026,9 +1079,7 @@ def knn_search_grid(queries_np, data_np, k: int,
     r_est = (2.0 * max(k, 1) / (density * 4.19)) ** (1.0 / 3.0)
     if radius is not None:
         r_est = min(r_est, float(radius))
-    r_cap = float(radius) if radius is not None else np.inf
     data_j = jnp.asarray(data_np, jnp.float32)
-    q_j = jnp.asarray(queries_np, jnp.float32)
     attrs0 = jnp.zeros((n, 0), jnp.float32)
     for _ in range(max_retries):
         plan = plan_rungrid(data_np, r_est, margin=0.0,
@@ -1041,16 +1092,11 @@ def knn_search_grid(queries_np, data_np, k: int,
                             plan["cap"], mask=data_mask)
         idx, d2 = knn_rungrid(grid, q_j, k, plan["qcap"],
                               jnp.float32(min(r_est, r_cap)))
-        found = np.asarray((idx >= 0).sum(-1))
-        kneed = min(k, n)
-        if radius is not None:
-            # hybrid semantics: short lists are legal when fewer than
-            # k data points lie within `radius`; a list is only
-            # suspect when it is short AND the k-th distance could
-            # exceed coverage
-            if r_est >= r_cap or (found >= kneed).all():
-                return idx, d2
-        elif (found >= kneed).all():
+        if accept(idx, d2, r_est):
+            if len(_grid_cache) >= _GRID_CACHE_MAX:
+                _grid_cache.pop(next(iter(_grid_cache)))
+            _grid_cache[key] = (grid, plan["qcap"],
+                                float(plan["cell_size"]))
             return idx, d2
         r_est *= 1.7
     return None

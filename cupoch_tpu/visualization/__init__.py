@@ -21,6 +21,7 @@ from .view_trajectory import (
     read_view_trajectory,
     write_view_trajectory,
 )
+from .html_viewer import export_html_viewer
 from .visualizer import Visualizer, draw_geometries
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "MeshColorOption",
     "Visualizer",
     "draw_geometries",
+    "export_html_viewer",
 ]

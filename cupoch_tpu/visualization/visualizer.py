@@ -270,6 +270,14 @@ def draw_geometries(geometry_list, window_name: str = "cupoch_tpu",
         pattern = filename or "frame_%05d.png"
         return len(play_view_trajectory(
             geometry_list, trajectory, pattern, width, height)) > 0
+    if filename is not None and filename.endswith(".html"):
+        # navigable single-file viewer (orbit/zoom/pan in any
+        # browser, no network needed) — the headless counterpart of
+        # the reference's GLFW window (visualizer.cpp:256-299)
+        from .html_viewer import export_html_viewer
+
+        return export_html_viewer(geometry_list, filename,
+                                  window_name=window_name)
     vis = Visualizer()
     vis.create_window(window_name, width, height, left, top)
     for g in geometry_list:

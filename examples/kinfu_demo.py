@@ -22,7 +22,7 @@ def main():
     depths = sorted(glob.glob(f"{TESTDATA}/rgbd/depth/*"))
     opt = KinfuOption(num_pyramid_levels=2, tsdf_length=4.0,
                       tsdf_resolution=128, sdf_trunc=0.04,
-                      tsdf_origin=(-2.0, -2.0, 0.0),
+                      tsdf_origin=(0.0, 0.0, 2.0),
                       distance_threshold=0.1, icp_iterations=[10, 10])
     pipe = KinfuPipeline(intr, opt)
     for i, (c, d) in enumerate(zip(colors, depths)):

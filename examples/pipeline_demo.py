@@ -111,7 +111,7 @@ def main():
 
     vol = cph.integration.UniformTSDFVolume(
         2.0, 64, 0.08, cph.integration.TSDFVolumeColorType.Gray32,
-        origin=(-1.0, -1.0, 0.0))
+        origin=(0.0, 0.0, 1.0))
     vol.integrate(rgbd, intr)
     surf = vol.extract_point_cloud()
     mesh = vol.extract_triangle_mesh()

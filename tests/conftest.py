@@ -29,3 +29,48 @@ assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# Heavy tests (>~7 s on the CPU mesh, measured via --durations) carry
+# the `slow` marker, centralized here so the fast gate stays accurate:
+#   pytest -m "not slow"   -> < 5 min iteration loop
+#   pytest                 -> full suite (nightly / pre-merge)
+_SLOW = {
+    "test_scaling_harness_runs",
+    "test_odometry_ate_within_bound",
+    "test_ring_icp_matches_single",
+    "test_gicp_pool_path",
+    "test_icp_pool_matches_rungrid",
+    "test_colored_icp_pool_path",
+    "test_colored_gicp_interpret_parity",
+    "test_registration_surfaces_drops_and_regrows",
+    "test_interpret_kernel_parity",
+    "test_grid_filterreg_converges",
+    "test_pallas_interpret_matches_xla",
+    "test_fused_icp_matches_legacy_metrics",
+    "test_knn_matches_bruteforce",
+    "test_fused_icp_converges",
+    "test_icp_uses_rollgrid_large_cloud",
+    "test_matches_brute_force",
+    "test_pose_graph_sharded_matches_single",
+    "test_ba_sharded_matches_single",
+    "test_bucket_matches_dense",
+    "test_voxelgrid_bucket_route",
+    "test_process_frame_and_extract",
+    "test_weighted_odometry_runs",
+    "test_recovers_small_motion",
+    "test_scalable_tsdf",
+    "test_voxelgrid_roundtrip",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy test (excluded by -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW:
+            item.add_marker(pytest.mark.slow)

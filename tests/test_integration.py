@@ -29,7 +29,7 @@ def intrinsic():
 def make_volume(color_type=TSDFVolumeColorType.Gray32):
     # 2m cube centred on the camera axis, in front of the camera
     return UniformTSDFVolume(
-        2.0, 64, 0.08, color_type, origin=(-1.0, -1.0, 0.0))
+        2.0, 64, 0.08, color_type, origin=(0.0, 0.0, 1.0))
 
 
 def test_integrate_creates_surface_at_wall():
@@ -99,7 +99,7 @@ def test_mesh_sphere_watertight():
     cubes output is watertight (validates the derived MC tables on the
     real extractor path)."""
     vol = UniformTSDFVolume(2.0, 48, 0.5, TSDFVolumeColorType.NoColor,
-                            origin=(-1.0, -1.0, -1.0))
+                            origin=(0.0, 0.0, 0.0))
     import jax.numpy as jnp
 
     R = vol.resolution

@@ -57,7 +57,7 @@ def small_option():
         tsdf_length=4.0,
         tsdf_resolution=64,
         sdf_trunc=0.2,
-        tsdf_origin=(-2.0, -2.0, 0.0),
+        tsdf_origin=(0.0, 0.0, 2.0),
         distance_threshold=0.3,
         icp_iterations=[5, 5],
     )
