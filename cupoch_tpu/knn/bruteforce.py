@@ -107,18 +107,51 @@ def nn_search(
     queries: jax.Array,
     data: jax.Array,
     data_mask: Optional[jax.Array] = None,
-    tile: int = _DEFAULT_TILE,
+    tile: int = 4096,
 ) -> Tuple[jax.Array, jax.Array]:
-    """1-NN: returns (index [Q], dist2 [Q])."""
+    """1-NN: returns (index [Q], dist2 [Q]).
+
+    Selection runs as ONE bf16 MXU pass per tile over a split-
+    precision augmented table (the knn/poolgrid.py trick): score
+    s = |p|^2 - 2 q.p is f32-faithful via
+    qh.(-2ph) + ql.(-2ph) + qh.(-2pl) + |p|^2_hi + |p|^2_lo packed
+    into a single K=11 contraction — |q|^2 is argmin-invariant and
+    skipped. The winner's distance is then recomputed exactly in f32,
+    so the returned d2 is exact; the index can differ from the true
+    NN only on ties below ~2^-16 relative score error. The previous
+    Precision.HIGHEST path (6 MXU passes + two broadcast adds over
+    the [T, N] matrix) measured 0.59 s per 268k x 32k pass on a v5e;
+    this layout is bound by the single [T, N] score stream."""
     tiles, Q = _pad_queries(queries, tile)
-    inf = jnp.float32(jnp.inf)
+    N = data.shape[0]
+    big = jnp.float32(1e30)
+
+    ph = data.astype(jnp.bfloat16)
+    pl = (data - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    pn = jnp.sum(data * data, -1)
+    if data_mask is not None:
+        pn = jnp.where(data_mask, pn, big)
+    pnh = pn.astype(jnp.bfloat16)
+    pnl = (pn - pnh.astype(jnp.float32)).astype(jnp.bfloat16)
+    B = jnp.concatenate([
+        -2.0 * ph.T, -2.0 * ph.T, -2.0 * pl.T,
+        pnh[None, :], pnl[None, :]], 0)        # [11, N] bf16
 
     def body(q_tile):
-        d2 = _pairwise_dist2(q_tile, data)
+        qh = q_tile.astype(jnp.bfloat16)
+        ql = (q_tile - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+        one = jnp.ones((q_tile.shape[0], 1), jnp.bfloat16)
+        A = jnp.concatenate([qh, ql, qh, one, one], 1)  # [T, 11]
+        s = jax.lax.dot_general(
+            A, B, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [T, N]
+        i = jnp.argmin(s, -1).astype(jnp.int32)
+        p = data[i]
+        d = q_tile - p
+        d2 = jnp.sum(d * d, -1)
         if data_mask is not None:
-            d2 = jnp.where(data_mask[None, :], d2, inf)
-        i = jnp.argmin(d2, -1).astype(jnp.int32)
-        return i, jnp.take_along_axis(d2, i[:, None].astype(jnp.int32), 1)[:, 0]
+            d2 = jnp.where(data_mask[i], d2, jnp.inf)
+        return i, d2
 
     idxs, d2s = jax.lax.map(body, tiles)
     return idxs.reshape(-1)[:Q], d2s.reshape(-1)[:Q]
