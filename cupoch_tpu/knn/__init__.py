@@ -72,7 +72,8 @@ def search_neighbors(
         if data.shape[0] > _BRUTE_FORCE_LIMIT:
             out = rungrid.knn_search_grid(
                 np.asarray(queries), np.asarray(data), param.knn,
-                data_mask=data_mask)
+                data_mask=data_mask,
+                queries_dev=queries, data_dev=data)
             if out is not None:
                 return out
         return bruteforce.knn_search(queries, data, param.knn, data_mask=data_mask)
@@ -82,7 +83,7 @@ def search_neighbors(
         return idx, d2
     out = rungrid.knn_search_grid(
         np.asarray(queries), np.asarray(data), max_nn, radius=radius,
-        data_mask=data_mask)
+        data_mask=data_mask, queries_dev=queries, data_dev=data)
     if out is not None:
         return out
     grid = gridhash.build_grid(data, radius, mask=data_mask)

@@ -1025,7 +1025,8 @@ def clear_grid_cache():
 
 def knn_search_grid(queries_np, data_np, k: int,
                     radius: Optional[float] = None,
-                    data_mask=None, max_retries: int = 3):
+                    data_mask=None, max_retries: int = 3,
+                    queries_dev=None, data_dev=None):
     """Exact grid kNN with density-based cell sizing and growth retry.
 
     Host wrapper (precompute API, not for jit loops): picks the cell
@@ -1057,7 +1058,11 @@ def knn_search_grid(queries_np, data_np, k: int,
             return r_eff >= r_cap or (found >= kneed).all()
         return (found >= kneed).all()
 
-    q_j = jnp.asarray(queries_np, jnp.float32)
+    # device arrays ride through when the caller already has them:
+    # host->device uploads cost ~58 ms/MB on this machine's TPU
+    # tunnel, and search_neighbors always starts from device data
+    q_j = queries_dev if queries_dev is not None \
+        else jnp.asarray(queries_np, jnp.float32)
     key = _data_fingerprint(data_np, data_mask)
     cached = _grid_cache.get(key)
     if cached is not None:
@@ -1079,7 +1084,8 @@ def knn_search_grid(queries_np, data_np, k: int,
     r_est = (2.0 * max(k, 1) / (density * 4.19)) ** (1.0 / 3.0)
     if radius is not None:
         r_est = min(r_est, float(radius))
-    data_j = jnp.asarray(data_np, jnp.float32)
+    data_j = data_dev if data_dev is not None \
+        else jnp.asarray(data_np, jnp.float32)
     attrs0 = jnp.zeros((n, 0), jnp.float32)
     for _ in range(max_retries):
         plan = plan_rungrid(data_np, r_est, margin=0.0,
