@@ -135,6 +135,38 @@ class TriangleMesh(MeshBase):
         return (self.triangle_uvs is not None and
                 self.triangle_uvs.shape[0] == 3 * self.triangles.shape[0])
 
+    def has_texture(self):
+        """reference: trianglemesh.h texture_ payload (HasTexture)."""
+        return self.texture is not None and self.texture.has_data()
+
+    def sample_texture_vertex_colors(self):
+        """Per-vertex colors by sampling `texture` at each vertex's
+        first triangle-corner UV (host renderer / viewer convenience;
+        the reference feeds uv+texture straight to its GL shader,
+        visualization/shader/texture_simple_shader.cu)."""
+        if not (self.has_texture() and self.has_triangle_uvs()):
+            return None
+        tex = np.asarray(self.texture.data)
+        if tex.ndim == 2:
+            tex = tex[..., None]
+        h, w = tex.shape[:2]
+        uv = np.asarray(self.triangle_uvs)          # [3M, 2]
+        corners = np.asarray(self.triangles).reshape(-1)
+        nv = int(self.vertices.shape[0])
+        first = np.full(nv, -1, np.int64)
+        # reversed so the FIRST corner occurrence wins
+        first[corners[::-1]] = np.arange(len(corners))[::-1]
+        uvv = uv[np.clip(first, 0, len(corners) - 1)]
+        px = np.clip((uvv[:, 0] * (w - 1)).astype(np.int64), 0, w - 1)
+        py = np.clip(((1.0 - uvv[:, 1]) * (h - 1)).astype(np.int64),
+                     0, h - 1)
+        c = tex[py, px].astype(np.float32)
+        if c.max() > 1.0 + 1e-6:
+            c = c / 255.0
+        if c.shape[-1] == 1:
+            c = np.repeat(c, 3, -1)
+        return c[:, :3]
+
     def __repr__(self):
         return (f"TriangleMesh with {int(self.vertices.shape[0])} points and "
                 f"{int(self.triangles.shape[0])} triangles.")

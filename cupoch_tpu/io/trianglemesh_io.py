@@ -96,37 +96,106 @@ def write_triangle_mesh_ply(path: str, mesh, write_ascii: bool = False):
 
 
 def read_triangle_mesh_obj(path: str):
-    """Minimal OBJ: v / vn / f lines, triangulating polygons by fan
-    (reference: file_obj.cu via tinyobjloader)."""
+    """OBJ with UV/material payload: v / vt / vn / f v[/vt[/vn]]
+    lines with fan triangulation, plus mtllib -> map_Kd texture
+    loading (reference: file_obj.cu:83-150 — per-corner
+    triangle_uvs_, uvs cleared unless every corner has one, texture
+    read from the material's diffuse map)."""
+    import os
+
     from ..geometry.trianglemesh import TriangleMesh
 
-    verts, normals, faces = [], [], []
+    verts, normals, uvs, faces = [], [], [], []
+    face_uvs = []
+    mtllibs = []
     with open(path, "r", errors="replace") as f:
         for line in f:
             if line.startswith("v "):
                 verts.append([float(x) for x in line.split()[1:4]])
             elif line.startswith("vn "):
                 normals.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vt "):
+                uvs.append([float(x) for x in line.split()[1:3]])
+            elif line.startswith("mtllib "):
+                mtllibs.append(line.split(None, 1)[1].strip())
             elif line.startswith("f "):
-                idx = [int(t.split("/")[0]) for t in line.split()[1:]]
+                toks = [t.split("/") for t in line.split()[1:]]
+                idx = [int(t[0]) for t in toks]
                 idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                ti = [int(t[1]) - 1 if len(t) > 1 and t[1] else -1
+                      for t in toks]
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     faces.append([idx[0], idx[k], idx[k + 1]])
+                    face_uvs.extend([ti[0], ti[k], ti[k + 1]])
     mesh = TriangleMesh(np.asarray(verts, np.float32),
                         np.asarray(faces, np.int32) if faces
                         else np.zeros((0, 3), np.int32))
     if normals and len(normals) == len(verts):
         mesh.vertex_normals = np.asarray(normals, np.float32)
+    # uvs only when EVERY corner carries one (file_obj.cu:137-140)
+    if uvs and face_uvs and all(t >= 0 for t in face_uvs):
+        uv_arr = np.asarray(uvs, np.float32)
+        mesh.triangle_uvs = uv_arr[np.asarray(face_uvs, np.int64)]
+    # texture via the first material's diffuse map (file_obj.cu:148)
+    base = os.path.dirname(os.path.abspath(path))
+    for lib in mtllibs:
+        mtl_path = os.path.join(base, lib)
+        if not os.path.exists(mtl_path):
+            continue
+        with open(mtl_path, "r", errors="replace") as mf:
+            for line in mf:
+                if line.strip().startswith("map_Kd"):
+                    tex = os.path.join(base,
+                                       line.split(None, 1)[1].strip())
+                    if os.path.exists(tex):
+                        from .image_io import read_image
+
+                        mesh.texture = read_image(tex)
+                        break
+        if mesh.texture is not None:
+            break
     return mesh
 
 
-def write_triangle_mesh_obj(path: str, mesh):
+def write_triangle_mesh_obj(path: str, mesh, write_triangle_uvs=True):
+    """OBJ writer with per-corner vt lines and a sidecar .mtl +
+    texture image when the mesh carries them (reference:
+    file_obj.cu:163-240)."""
+    import os
+
     verts = np.asarray(mesh.vertices)
     tris = np.asarray(mesh.triangles) + 1
+    write_triangle_uvs = (write_triangle_uvs
+                          and getattr(mesh, "has_triangle_uvs",
+                                      lambda: False)())
+    base, _ = os.path.splitext(path)
+    name = os.path.basename(base)
+    has_tex = getattr(mesh, "has_texture", lambda: False)()
     with open(path, "w") as f:
         f.write("# exported by cupoch_tpu\n")
+        if write_triangle_uvs or has_tex:
+            f.write(f"mtllib {name}.mtl\n")
         np.savetxt(f, verts, fmt="v %.8g %.8g %.8g")
-        np.savetxt(f, tris, fmt="f %d %d %d")
+        if write_triangle_uvs:
+            uv = np.asarray(mesh.triangle_uvs)
+            np.savetxt(f, uv, fmt="vt %.8g %.8g")
+            f.write(f"usemtl {name}\n")
+            corner = np.arange(1, uv.shape[0] + 1).reshape(-1, 3)
+            rows = np.stack([tris[:, 0], corner[:, 0],
+                             tris[:, 1], corner[:, 1],
+                             tris[:, 2], corner[:, 2]], -1)
+            np.savetxt(f, rows, fmt="f %d/%d %d/%d %d/%d")
+        else:
+            np.savetxt(f, tris, fmt="f %d %d %d")
+    if write_triangle_uvs or has_tex:
+        with open(base + ".mtl", "w") as mf:
+            mf.write(f"newmtl {name}\nKa 1 1 1\nKd 1 1 1\nKs 0 0 0\n")
+            if has_tex:
+                mf.write(f"map_Kd {name}.png\n")
+        if has_tex:
+            from .image_io import write_image
+
+            write_image(base + ".png", mesh.texture)
     return True
 
 

@@ -48,6 +48,8 @@ def _geometry_arrays(g):
         pts = np.asarray(g.vertices)
         cols = (np.asarray(g.vertex_colors)
                 if g.has_vertex_colors() else None)
+        if cols is None:
+            cols = g.sample_texture_vertex_colors()
         tris = np.asarray(g.triangles)
         lines = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
                                 tris[:, [2, 0]]]) if len(tris) else None
