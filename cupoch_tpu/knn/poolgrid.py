@@ -122,6 +122,14 @@ class PoolGrid:
                                in-tile, field) with fields -2cx, -2cy,
                                -2cz, |c|^2 (cell-centered; empty
                                |c|^2=BIG). Drives the GN iterations.
+                               Supertiles group ACTIVE cells when
+                               `cell_map` is set (surface clouds):
+                               a cell is active when its 27-
+                               neighborhood holds any target point,
+                               and supertiles pack 32 consecutive
+                               active cells — queries binned to
+                               inactive cells provably have no
+                               match and are dropped at binning.
     scan_lo   [G*KC, 4T]       bf16 low-order residual of the score
                                table (f32 - bf16(f32)); CORRES passes
                                (reported metrics, the kNN surface)
@@ -141,7 +149,7 @@ class PoolGrid:
 
     def __init__(self, scan, scan_lo, binfields, origin,
                  cell_size, off, dims, cap, kc, est, tile,
-                 n_dropped=None):
+                 n_dropped=None, cell_map=None):
         self.scan = scan
         self.scan_lo = scan_lo
         self.binfields = binfields
@@ -154,6 +162,7 @@ class PoolGrid:
         self.est = int(est)
         self.tile = int(tile)
         self.n_dropped = n_dropped
+        self.cell_map = cell_map  # [C] int32 active rank / -1, or None
 
     @property
     def n_windows(self) -> int:
@@ -173,15 +182,15 @@ class PoolGrid:
 
 def _poolgrid_flatten(g):
     return ((g.scan, g.scan_lo, g.binfields, g.origin,
-             g.cell_size, g.off, g.n_dropped),
+             g.cell_size, g.off, g.n_dropped, g.cell_map),
             (g.dims, g.cap, g.kc, g.est, g.tile))
 
 
 def _poolgrid_unflatten(aux, leaves):
     (scan, scan_lo, binfields, origin, cell_size, off,
-     n_dropped) = leaves
+     n_dropped, cell_map) = leaves
     return PoolGrid(scan, scan_lo, binfields, origin, cell_size,
-                    off, *aux, n_dropped=n_dropped)
+                    off, *aux, n_dropped=n_dropped, cell_map=cell_map)
 
 
 jax.tree_util.register_pytree_node(PoolGrid, _poolgrid_flatten,
@@ -236,8 +245,35 @@ def plan_poolgrid(points: np.ndarray, radius: float,
     cap = max(8, _round_up(cap, 8))
     kc = _round_up(27 * cap, WINDOW)
     assert 27 * cap <= SLOT_MASK + 1
-    c_pad = _round_up(n_cells, tile * shards)
-    # query pool capacity per supertile of `tile` z-major cells
+
+    # ACTIVE-CELL COMPACTION (surface clouds): a cell whose 27-
+    # neighborhood holds no target point can never yield a
+    # correspondence, so its scan rows need not exist and queries
+    # binned there are dropped as provably matchless. fragment.pcd:
+    # 334k cells, 4% occupied -> the dense table wasted 25x HBM and
+    # its build dominated the whole ICP (VERDICT r4 #3).
+    occ3 = np.zeros(dims, bool)
+    occ3[1:-1, 1:-1, 1:-1] = (counts > 0).reshape(tuple(dims_core))
+    act3 = np.zeros(dims, bool)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                act3 |= np.roll(occ3, (dx, dy, dz), (0, 1, 2))
+    n_active = int(act3.sum())
+    compact = n_active <= int(0.55 * n_cells)
+    if compact:
+        active_cells = np.flatnonzero(act3.reshape(-1)) \
+            .astype(np.int32)
+        amap = np.full(n_cells, -1, np.int32)
+        amap[active_cells] = np.arange(n_active, dtype=np.int32)
+        c_pad = _round_up(n_active, tile * shards)
+    else:
+        active_cells = None
+        amap = None
+        c_pad = _round_up(n_cells, tile * shards)
+
+    # query pool capacity per supertile of `tile` consecutive
+    # (active-rank or z-major) cells
     qp = 16 * tile
     if query_points is not None:
         qpn = np.asarray(query_points)
@@ -248,11 +284,15 @@ def plan_poolgrid(points: np.ndarray, radius: float,
             if inb.any():
                 lin = (qc[inb, 0] * dims[1] + qc[inb, 1]) * dims[2] \
                     + qc[inb, 2]
-                tcnt = np.bincount(lin // tile,
-                                   minlength=c_pad // tile)
-                tocc = tcnt[tcnt > 0]
-                if tocc.size:
-                    qp = int(np.percentile(tocc, cap_percentile))
+                if compact:
+                    lin = amap[lin]
+                    lin = lin[lin >= 0]
+                if lin.size:
+                    tcnt = np.bincount(lin // tile,
+                                       minlength=c_pad // tile)
+                    tocc = tcnt[tcnt > 0]
+                    if tocc.size:
+                        qp = int(np.percentile(tocc, cap_percentile))
         qp = int(qp * 1.2) + 8
     qp = _round_up(max(qp, 8), 128 if qp > 128 else 8)
     if qp > qp_limit:
@@ -260,11 +300,10 @@ def plan_poolgrid(points: np.ndarray, radius: float,
     F = n_fields(est)
     # per-device bytes: scan + scan_lo ([4*C_pad, kc] bf16 total) are
     # sharded by supertile under the ring path; the bin-ordered
-    # binfields table [C_pad*cap, F+1] f32 is replicated on every
-    # device (advisor r4: the old estimate undercounted binfields by
-    # (F+1)x on sparse grids and ignored replication)
+    # binfields table (full-C rows so the epilogue can resolve any
+    # original neighbor cell) is replicated on every device
     grid_bytes = (c_pad * 4 * kc * 4) // shards \
-        + c_pad * cap * (F + 1) * 4
+        + n_cells * cap * (F + 1) * 4
     if grid_bytes > mem_budget_bytes:
         return None
     origin = (lo - cell).astype(np.float32)
@@ -273,6 +312,7 @@ def plan_poolgrid(points: np.ndarray, radius: float,
         "qp": int(qp), "tile": int(tile), "shards": int(shards),
         "cell_size": np.float32(cell),
         "rebin_margin": np.float32(float(radius) * float(margin)),
+        "active_cells": active_cells, "n_active": n_active,
     }
 
 
@@ -284,27 +324,36 @@ def plan_poolgrid(points: np.ndarray, radius: float,
 SENTINEL_BIN = 1 << 24  # > any padded bin count (max_cells <= 2M)
 
 
-def _cell_key(points, origin, cell_size, dims, n_bins_div, mask=None):
-    """(bin | 6-bit Morton) key; bin = linear_cell // n_bins_div.
-    Out-of-bounds / masked -> dropped sentinel.
+def _cell_key(points, origin, cell_size, dims, n_bins_div, mask=None,
+              cell_map=None):
+    """(bin | 6-bit Morton) key; bin = cell_rank // n_bins_div where
+    cell_rank is the linear cell (dense) or its active rank
+    (`cell_map` set; queries in inactive cells are provably matchless
+    and go to the sentinel). Out-of-bounds / masked -> sentinel.
 
     The sentinel bin must exceed the PADDED bin count seen by
     _bin_to_slots, not just C // n_bins_div: query binning passes
     n_bins = C_pad // tile >= C // tile, so a C-derived sentinel would
     alias a real supertile whenever C % (tile * shards) != 0 and
     masked queries would steal its pool slots (advisor r4, high)."""
+    C = dims[0] * dims[1] * dims[2]
     rel = (points - origin) / cell_size
     cell = jnp.floor(rel).astype(jnp.int32)
     inb = jnp.all((cell >= 0) & (cell < jnp.asarray(dims)), -1)
     if mask is not None:
         inb = inb & mask
     lin = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    if cell_map is not None:
+        rank = cell_map[jnp.clip(lin, 0, C - 1)]
+        inb = inb & (rank >= 0)
+    else:
+        rank = lin
     sub = jnp.clip((rel - cell) * 4.0, 0.0, 3.9999).astype(jnp.int32)
     m = ((sub[:, 0] & 2) << 4) | ((sub[:, 1] & 2) << 3) \
         | ((sub[:, 2] & 2) << 2) \
         | ((sub[:, 0] & 1) << 2) | ((sub[:, 1] & 1) << 1) \
         | (sub[:, 2] & 1)
-    key = jnp.where(inb, (lin // n_bins_div) * 64 + m,
+    key = jnp.where(inb, (rank // n_bins_div) * 64 + m,
                     SENTINEL_BIN * 64)
     return key, lin, inb
 
@@ -359,21 +408,25 @@ def cell_centers(dims, origin, cell_size, C: int):
 def build_poolgrid_arrays(points, attrs, origin, cell_size,
                           dims: Tuple[int, int, int], cap: int,
                           kc: int, est: int, tile: int, mask=None,
-                          shards: int = 1):
+                          shards: int = 1, active_cells=None):
     """Bin targets once, assemble the 27-run neighborhood for the
-    COORDINATE score table only with `jnp.roll` (no gathers, no lane
-    sort), and keep everything else compact: a [C, cap] original-index
-    table and a [N, F] world-frame field table consumed by the XLA
-    epilogue after the kernel has picked winners.
+    COORDINATE score table, and keep everything else compact: a
+    [C, cap] original-index table and a world-frame field table
+    consumed by the XLA epilogue after the kernel has picked winners.
+
+    Dense grids assemble the neighborhood with `jnp.roll` (no
+    gathers, no lane sort; a flat 1-D take at these sizes lowers to a
+    scalar loop on TPU). With `active_cells` ([C_act_pad] int32, -1
+    pad) only active cells get scan rows, assembled by ROW gathers of
+    the [C, cap] binned channels (wide rows gather at full rate) —
+    surface clouds drop the table and its build by the inactive
+    fraction (25x on fragment.pcd).
 
     reference: the grid replaces kdtree_flann.inl's per-query
     traversal; padded-slot capacity semantics follow NUM_MAX_NN
     (kdtree_search_param.h:26) with dropped counts surfaced."""
     Gx, Gy, Gz = dims
     C = Gx * Gy * Gz
-    C_pad = _round_up(C, tile * shards)
-    G = C_pad // tile
-    NW = kc // WINDOW
     key, lin, _ = _cell_key(points, origin, cell_size, dims, 1, mask)
     linc = jnp.clip(lin, 0, C - 1)
     cen = cell_centers(dims, origin, cell_size, C)[linc]
@@ -382,23 +435,56 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
         key, C, cap, [pc[:, 0], pc[:, 1], pc[:, 2]],
         [jnp.float32(np.inf)] * 3)
 
-    # 27-run neighborhood as rolls (NOT a flat gather: XLA TPU lowers
-    # a 56M-element 1D take to a scalar-at-a-time loop that runs for
-    # minutes; rolls are pure strided copies)
-    def rolled(arr2d):
-        a = arr2d.reshape(Gx, Gy, Gz, cap)
-        parts = []
-        for (dx, dy, dz) in RUN_OFFSETS:
-            parts.append(jnp.roll(a, (-dx, -dy, -dz), (0, 1, 2))
-                         .reshape(C, cap))
-        return jnp.concatenate(parts, -1)
-
-    cx, cy, cz = (rolled(binned[i]) for i in range(3))
     offs = np.asarray(RUN_OFFSETS, np.float32)
-    lane_off = jnp.repeat(jnp.asarray(offs), cap, axis=0)  # [27*cap,3]
-    cx = cx + lane_off[None, :, 0] * cell_size
-    cy = cy + lane_off[None, :, 1] * cell_size
-    cz = cz + lane_off[None, :, 2] * cell_size
+    if active_cells is None:
+        C_pad = _round_up(C, tile * shards)
+        G = C_pad // tile
+
+        # 27-run neighborhood as rolls (pure strided copies)
+        def rolled(arr2d):
+            a = arr2d.reshape(Gx, Gy, Gz, cap)
+            parts = []
+            for (dx, dy, dz) in RUN_OFFSETS:
+                parts.append(jnp.roll(a, (-dx, -dy, -dz), (0, 1, 2))
+                             .reshape(C, cap))
+            return jnp.concatenate(parts, -1)
+
+        cx, cy, cz = (rolled(binned[i]) for i in range(3))
+        lane_off = jnp.repeat(jnp.asarray(offs), cap, axis=0)
+        cx = cx + lane_off[None, :, 0] * cell_size
+        cy = cy + lane_off[None, :, 1] * cell_size
+        cz = cz + lane_off[None, :, 2] * cell_size
+        row_pad = C_pad - C
+    else:
+        # ACTIVE-CELL branch: gather each active cell's 27 neighbor
+        # rows from the [C, cap] binned channels
+        C_pad = active_cells.shape[0]          # multiple of tile*shards
+        G = C_pad // tile
+        avalid = active_cells >= 0
+        a = jnp.clip(active_cells, 0)
+        az = a % Gz
+        ayx = a // Gz
+        ay = ayx % Gy
+        ax = ayx // Gy
+        ioffs = np.asarray(RUN_OFFSETS, np.int32)
+        # wraparound matches the dense jnp.roll; guard rings are empty
+        nbr = (((ax[:, None] + ioffs[None, :, 0]) % Gx) * Gy
+               + ((ay[:, None] + ioffs[None, :, 1]) % Gy)) * Gz \
+            + ((az[:, None] + ioffs[None, :, 2]) % Gz)   # [Ca, 27]
+        nbr_flat = nbr.reshape(-1)
+
+        def gathered(arr2d):
+            g = jnp.take(arr2d, nbr_flat, axis=0)        # [Ca*27, cap]
+            return g.reshape(C_pad, 27 * cap)
+
+        cx, cy, cz = (gathered(binned[i]) for i in range(3))
+        lane_off = jnp.repeat(jnp.asarray(offs), cap, axis=0)
+        cx = cx + lane_off[None, :, 0] * cell_size
+        cy = cy + lane_off[None, :, 1] * cell_size
+        cz = cz + lane_off[None, :, 2] * cell_size
+        # pad rows (active_cells == -1) must never win
+        cx = jnp.where(avalid[:, None], cx, jnp.inf)
+        row_pad = 0
 
     empty = ~jnp.isfinite(cx)
     zero = jnp.zeros_like(cx)
@@ -408,18 +494,19 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
 
     pad = kc - 27 * cap
     if pad:
-        def padk(a, v):
-            return jnp.pad(a, ((0, 0), (0, pad)), constant_values=v)
+        def padk(arr, v):
+            return jnp.pad(arr, ((0, 0), (0, pad)), constant_values=v)
         cx, cy, cz = padk(cx, 0), padk(cy, 0), padk(cz, 0)
         cn = padk(cn, BIG)
 
     # (a) scan table in the kernel's LANES-MAJOR layout
     # [G*KC, 4T]: row (supertile, slot), col (cell-in-tile, field) —
     # the per-window score is then [128, 4T] @ [4T, QP] with no
-    # in-kernel transposes. Phantom pad cells beyond C are zero
-    # (they own no queries).
+    # in-kernel transposes. Phantom pad cells are empty (they own no
+    # queries and their lanes carry BIG).
     scan32 = jnp.stack([-2.0 * cx, -2.0 * cy, -2.0 * cz, cn], 1)
-    scan32 = jnp.pad(scan32, ((0, C_pad - C), (0, 0), (0, 0)))
+    if row_pad:
+        scan32 = jnp.pad(scan32, ((0, row_pad), (0, 0), (0, 0)))
     scan32 = scan32.reshape(G, tile, 4, kc).transpose(0, 3, 1, 2) \
         .reshape(G * kc, tile * 4)
     scan = scan32.astype(jnp.bfloat16)
@@ -427,12 +514,12 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
         .astype(jnp.bfloat16)
 
     # (b) world-frame per-point fields + original index, in BIN
-    # order: ONE row gather in the epilogue resolves the winner
+    # order over the FULL grid (the epilogue resolves any original
+    # neighbor cell): ONE row gather resolves the winner
     fields = jnp.concatenate([points, attrs], -1) \
         .astype(jnp.float32) if attrs.shape[1] else \
         points.astype(jnp.float32)
-    idx_flat = jnp.pad(index.reshape(-1), (0, (C_pad - C) * cap),
-                       constant_values=INVALID_INDEX)
+    idx_flat = index.reshape(-1)
     safe_idx = jnp.clip(idx_flat, 0, points.shape[0] - 1)
     binfields = jnp.concatenate(
         [fields[safe_idx], idx_flat[:, None].astype(jnp.float32)], -1)
@@ -447,20 +534,49 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
     return scan, scan_lo, binfields, off, n_dropped
 
 
+@partial(jax.jit, static_argnames=("n_cells",))
+def _cell_map_from_active(active_cells, n_cells: int):
+    """[C] int32 active-rank map (-1 inactive) scattered on device
+    from the compact active id list (uploading the full map would
+    cost ~58 ms/MB through the tunnel; the id list is 4x smaller)."""
+    ca = active_cells.shape[0]
+    avalid = active_cells >= 0
+    slot = jnp.where(avalid, active_cells, n_cells)
+    return jnp.full((n_cells + 1,), -1, jnp.int32) \
+        .at[slot].set(jnp.arange(ca, dtype=jnp.int32),
+                      mode="drop")[:n_cells]
+
+
 def make_poolgrid(points, attrs, origin, cell_size, dims, cap, kc,
                   est: int = EST_NONE, tile: int = 32,
-                  mask=None, shards: int = 1) -> PoolGrid:
+                  mask=None, shards: int = 1,
+                  active_cells=None) -> PoolGrid:
+    """`active_cells`: optional np/jax int32 array of active cell ids
+    from plan_poolgrid (compact surface-cloud grid); padded here to a
+    multiple of tile*shards with -1."""
+    cell_map = None
+    act_j = None
+    if active_cells is not None:
+        act_np = np.asarray(active_cells, np.int32)
+        ca_pad = _round_up(max(act_np.shape[0], 1),
+                           int(tile) * int(shards))
+        act_j = jnp.asarray(np.pad(act_np,
+                                   (0, ca_pad - act_np.shape[0]),
+                                   constant_values=-1))
+        C = int(dims[0]) * int(dims[1]) * int(dims[2])
+        cell_map = _cell_map_from_active(act_j, C)
     scan, scan_lo, binfields, off, n_dropped = \
         build_poolgrid_arrays(
             points, attrs, jnp.asarray(origin, jnp.float32),
             jnp.asarray(cell_size, jnp.float32), tuple(dims),
             int(cap), int(kc), int(est), int(tile), mask=mask,
-            shards=int(shards))
+            shards=int(shards), active_cells=act_j)
     return PoolGrid(scan, scan_lo, binfields,
                     jnp.asarray(origin, jnp.float32),
                     jnp.asarray(cell_size, jnp.float32), off,
                     tuple(dims), int(cap), int(kc), int(est),
-                    int(tile), n_dropped=n_dropped)
+                    int(tile), n_dropped=n_dropped,
+                    cell_map=cell_map)
 
 
 # ---------------------------------------------------------------------------
@@ -468,12 +584,17 @@ def make_poolgrid(points, attrs, origin, cell_size, dims, cap, kc,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("dims", "qp", "tile", "n_extra",
-                                   "shards"))
+                                   "shards", "n_rank_pad"))
 def bin_queries_pool(points, bin_T, origin, cell_size,
                      dims: Tuple[int, int, int], qp: int, tile: int,
                      extra=None, n_extra: int = 0, mask=None,
-                     shards: int = 1):
-    """Pool queries per supertile of `tile` consecutive z-major cells.
+                     shards: int = 1, cell_map=None,
+                     n_rank_pad: Optional[int] = None):
+    """Pool queries per supertile of `tile` consecutive z-major cells
+    (or consecutive ACTIVE cells when `cell_map` is given; a size-0
+    cell_map means dense — the shard_map path cannot carry None).
+    `n_rank_pad`: padded rank-domain size (the grid's total supertile
+    count x tile); defaults to round_up(C, tile*shards) dense.
 
     Returns (qpool [G, CH, QP] f32 rows (x, y, z, tagf, ccx, ccy,
     ccz, extra..., 0), qidx [G, QP] int32 (-1 empty), n_dropped).
@@ -484,7 +605,14 @@ def bin_queries_pool(points, bin_T, origin, cell_size,
     nearly halves the dominant rebin cost. tagf = cell-within-
     supertile, -1 empty."""
     C = dims[0] * dims[1] * dims[2]
-    C_pad = _round_up(C, tile * shards)
+    if cell_map is not None and cell_map.shape[0] == 0:
+        cell_map = None
+    if n_rank_pad is not None:
+        C_pad = int(n_rank_pad)
+    else:
+        assert cell_map is None, \
+            "compact binning needs n_rank_pad from the grid"
+        C_pad = _round_up(C, tile * shards)
     G = C_pad // tile
     Rb = bin_T[:3, :3]
     tb = bin_T[:3, 3]
@@ -500,7 +628,7 @@ def bin_queries_pool(points, bin_T, origin, cell_size,
          Rb[2, 0] * points[:, 0] + Rb[2, 1] * points[:, 1]
          + Rb[2, 2] * points[:, 2] + tb[2]], -1)
     key, lin, inb = _cell_key(bin_positions, origin, cell_size, dims,
-                              tile, mask)
+                              tile, mask, cell_map=cell_map)
     # the linear cell id rides the sort as an exact-int f32 channel;
     # tag and the cell center are decoded from IT after pooling, so
     # they agree with the key binning bit-for-bit (re-deriving them
@@ -517,8 +645,10 @@ def bin_queries_pool(points, bin_T, origin, cell_size,
     x, y, z = binned[0], binned[1], binned[2]
     linq = binned[3].astype(jnp.int32)
     occ = (index >= 0) & (linq >= 0)
-    tagf = jnp.where(occ, (linq % tile).astype(jnp.float32), -1.0)
     lc = jnp.clip(linq, 0, C - 1)
+    rank_q = cell_map[lc] if cell_map is not None else linq
+    occ = occ & (rank_q >= 0)
+    tagf = jnp.where(occ, (rank_q % tile).astype(jnp.float32), -1.0)
     cellz = (lc % dims[2]).astype(jnp.float32)
     celly = ((lc // dims[2]) % dims[1]).astype(jnp.float32)
     cellx = (lc // (dims[2] * dims[1])).astype(jnp.float32)
@@ -899,9 +1029,6 @@ def _epilogue(grid: PoolGrid, qpool, slotf, params, est: int,
 
     tag = qpool[:, 3, :]
     valid = tag >= 0.0
-    step = tile0 + jnp.arange(G, dtype=jnp.int32)[:, None]
-    cell = jnp.minimum(step * T + jnp.clip(tag, 0.0).astype(jnp.int32),
-                       C - 1)
     slot = slotf.astype(jnp.int32)
     in_lanes = slot < 27 * cap
     sl = jnp.clip(slot, 0, 27 * cap - 1)
@@ -911,10 +1038,17 @@ def _epilogue(grid: PoolGrid, qpool, slotf, params, est: int,
     dx = jnp.asarray(offs[:, 0])[run]
     dy = jnp.asarray(offs[:, 1])[run]
     dz = jnp.asarray(offs[:, 2])[run]
-    cz = cell % Gz
-    cyx = cell // Gz
-    cy = cyx % Gy
-    cx = cyx // Gy
+    # the query's ORIGINAL cell decodes from its bin-time cell center
+    # (cc = origin + (cell+0.5)*h, so the floor sits mid-cell with a
+    # 0.5-cell safety margin) — works for dense, ring-sharded (tile0
+    # rows), and active-compacted supertiles alike
+    inv_h = 1.0 / grid.cell_size
+    cx = jnp.clip(jnp.floor((qpool[:, 4, :] - grid.origin[0])
+                            * inv_h).astype(jnp.int32), 0, Gx - 1)
+    cy = jnp.clip(jnp.floor((qpool[:, 5, :] - grid.origin[1])
+                            * inv_h).astype(jnp.int32), 0, Gy - 1)
+    cz = jnp.clip(jnp.floor((qpool[:, 6, :] - grid.origin[2])
+                            * inv_h).astype(jnp.int32), 0, Gz - 1)
     # wraparound neighbor arithmetic matches the build's jnp.roll:
     # both guard rings are empty, so a ring-cell query resolving a
     # wrapped neighbor sees the same empty lanes the kernel scored

@@ -158,17 +158,18 @@ def ring_sharded_pool_icp_fn(mesh: Mesh, qp: int,
     grid_static = {}
     shard = jax.shard_map(
         lambda s, m, a, gscan, gscanlo, gbf, gor, gcs, goff,
-        gnd, T0, md, rm, rf, rr: body(
+        gnd, gcm, T0, md, rm, rf, rr: body(
             s, m, a,
             _pg.PoolGrid(gscan, gscanlo, gbf, gor, gcs, goff,
                          grid_static["dims"], grid_static["cap"],
                          grid_static["kc"], grid_static["est"],
-                         grid_static["tile"], n_dropped=gnd),
+                         grid_static["tile"], n_dropped=gnd,
+                         cell_map=gcm),
             T0, md, rm, rf, rr),
         mesh=mesh,
         in_specs=(P(POINTS_AXIS), P(POINTS_AXIS), P(POINTS_AXIS),
                   P(POINTS_AXIS), P(POINTS_AXIS), P(), P(), P(),
-                  P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(POINTS_AXIS), P(), P(), P(), P()),
         check_vma=False,
     )
@@ -177,9 +178,13 @@ def ring_sharded_pool_icp_fn(mesh: Mesh, qp: int,
            rel_fit, rel_rmse):
         grid_static.update(dims=grid.dims, cap=grid.cap, kc=grid.kc,
                            est=grid.est, tile=grid.tile)
+        # a size-0 map stands in for None (shard_map specs cannot
+        # carry None); bin_queries_pool treats it as dense
+        cm = grid.cell_map if grid.cell_map is not None \
+            else jnp.zeros((0,), jnp.int32)
         return shard(src, mask, aux, grid.scan, grid.scan_lo,
                      grid.binfields, grid.origin,
-                     grid.cell_size, grid.off, grid.n_dropped,
+                     grid.cell_size, grid.off, grid.n_dropped, cm,
                      init_T, max_dist, rebin_margin, rel_fit, rel_rmse)
 
     return fn
@@ -239,13 +244,16 @@ def ring_sharded_registration_icp(
                      "off", "n_dropped"):
             setattr(grid, leaf, jax.device_put(getattr(grid, leaf),
                                                rep))
+        if grid.cell_map is not None:
+            grid.cell_map = jax.device_put(grid.cell_map, rep)
         return grid
 
     def run():
         grid = put_grid(poolgrid.make_poolgrid(
             tgt_j, attrs, plan["origin"], plan["cell_size"],
             plan["dims"], plan["cap"], plan["kc"], est=est_code,
-            tile=plan["tile"], shards=D))
+            tile=plan["tile"], shards=D,
+            active_cells=plan.get("active_cells")))
         return fn(src_j, mask_j, aux_j, grid,
                   jax.device_put(jnp.asarray(init), rep),
                   jnp.float32(max_dist), plan["rebin_margin"],

@@ -297,7 +297,9 @@ def icp_core_pool(
     def rebin_full(T):
         return poolgrid.bin_queries_pool(
             src, T, grid.origin, grid.cell_size, grid.dims, qp,
-            grid.tile, extra=src_aux, n_extra=n_extra, mask=src_mask)
+            grid.tile, extra=src_aux, n_extra=n_extra, mask=src_mask,
+            cell_map=grid.cell_map,
+            n_rank_pad=grid.n_tiles * grid.tile)
 
     def gn_pass(T, qpool):
         params = poolgrid.make_params(T, r2, grid, e0, e1)
@@ -437,7 +439,8 @@ def icp_core_pool_ring(
         return poolgrid.bin_queries_pool(
             src, T, grid.origin, grid.cell_size, grid.dims, qp,
             grid.tile, extra=src_aux, n_extra=n_extra, mask=src_mask,
-            shards=D)
+            shards=D, cell_map=grid.cell_map,
+            n_rank_pad=grid.n_tiles * D * grid.tile)
 
     def ring_gn(T, qpool):
         params = poolgrid.make_params(T, r2, grid, e0, e1)

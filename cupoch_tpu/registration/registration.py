@@ -363,7 +363,8 @@ def registration_icp(
             grid = poolgrid.make_poolgrid(
                 tgt, attrs, pplan["origin"], pplan["cell_size"],
                 pplan["dims"], pplan["cap"], pplan["kc"],
-                est=est_code, tile=pplan["tile"], mask=tgt_mask)
+                est=est_code, tile=pplan["tile"], mask=tgt_mask,
+                active_cells=pplan.get("active_cells"))
             nd_t = int(grid.n_dropped)
             if nd_t > max(64, 0.002 * tgt_np.shape[0]):
                 # auto-regrow: the percentile cap dropped a meaningful
@@ -382,7 +383,8 @@ def registration_icp(
                         tgt, attrs, pplan["origin"],
                         pplan["cell_size"], pplan["dims"],
                         pplan["cap"], pplan["kc"], est=est_code,
-                        tile=pplan["tile"], mask=tgt_mask)
+                        tile=pplan["tile"], mask=tgt_mask,
+                        active_cells=pplan.get("active_cells"))
                     nd_t = int(grid.n_dropped)
             T, idx, fit, rmse, it, nq_drop = fused_icp.icp_core_pool(
                 src, src_mask, src_aux, grid, init_T,
