@@ -99,7 +99,8 @@ def bench_headline():
         return poolgrid.make_poolgrid(
             tgt_j, attrs, plan["origin"], plan["cell_size"],
             plan["dims"], plan["cap"], plan["kc"], est=est_code,
-            tile=plan["tile"], mask=mask)
+            tile=plan["tile"], mask=mask,
+            active_cells=plan.get("active_cells"))
 
     def loop(grid):
         return fused_icp.icp_core_pool(

@@ -238,8 +238,30 @@ def plan_poolgrid(points: np.ndarray, radius: float,
 
     counts = _counts(cidx, dims_core)
     occupied = counts[counts > 0]
-    cap = int(np.percentile(occupied, cap_percentile)) if occupied.size \
-        else 8
+    npts_f = int(finite.sum())
+    if occupied.size == 0:
+        cap = 8
+    elif cap_percentile >= 100.0:
+        cap = int(occupied.max())
+    else:
+        # drop-bounded capacity: the scored elements per pass scale
+        # with kc = 27*cap, so pick the SMALLEST cap whose predicted
+        # target drops sum((count-cap)+) stay under 0.15% of the
+        # cloud (safely below the caller's 0.2% regrow threshold);
+        # the occupancy percentile alone over-provisioned the
+        # headline cloud 1.6x (cap 64 for mean occupancy 25)
+        budget = max(32, int(0.0015 * npts_f))
+        cap = None
+        for c in range(8, cap_limit + 1, 8):
+            drops = int(np.maximum(occupied - c, 0).sum())
+            if drops <= budget:
+                cap = c
+                break
+        if cap is None:
+            pct = int(np.percentile(occupied, cap_percentile))
+            if pct > cap_limit:
+                return None
+            cap = pct
     if cap > cap_limit:
         return None
     cap = max(8, _round_up(cap, 8))
@@ -262,19 +284,13 @@ def plan_poolgrid(points: np.ndarray, radius: float,
     n_active = int(act3.sum())
     compact = n_active <= int(0.55 * n_cells)
     if compact:
-        active_cells = np.flatnonzero(act3.reshape(-1)) \
+        cells_list = np.flatnonzero(act3.reshape(-1)) \
             .astype(np.int32)
-        amap = np.full(n_cells, -1, np.int32)
-        amap[active_cells] = np.arange(n_active, dtype=np.int32)
-        c_pad = _round_up(n_active, tile * shards)
     else:
-        active_cells = None
-        amap = None
-        c_pad = _round_up(n_cells, tile * shards)
+        cells_list = np.arange(n_cells, dtype=np.int32)
 
-    # query pool capacity per supertile of `tile` consecutive
-    # (active-rank or z-major) cells
-    qp = 16 * tile
+    # per-cell query counts (for pool sizing / balanced packing)
+    qcnt = None
     if query_points is not None:
         qpn = np.asarray(query_points)
         qf = np.isfinite(qpn).all(-1)
@@ -282,17 +298,36 @@ def plan_poolgrid(points: np.ndarray, radius: float,
             qc = np.floor((qpn[qf] - lo) / cell).astype(np.int64) + 1
             inb = (qc >= 0).all(-1) & (qc < dims).all(-1)
             if inb.any():
-                lin = (qc[inb, 0] * dims[1] + qc[inb, 1]) * dims[2] \
+                linq = (qc[inb, 0] * dims[1] + qc[inb, 1]) * dims[2] \
                     + qc[inb, 2]
-                if compact:
-                    lin = amap[lin]
-                    lin = lin[lin >= 0]
-                if lin.size:
-                    tcnt = np.bincount(lin // tile,
-                                       minlength=c_pad // tile)
-                    tocc = tcnt[tcnt > 0]
-                    if tocc.size:
-                        qp = int(np.percentile(tocc, cap_percentile))
+                qcnt = np.bincount(linq, minlength=n_cells)
+
+    # z-major supertiles of `tile` consecutive (active) cells. NOTE
+    # balanced query packing (snake deal / budgeted greedy) was
+    # measured SLOWER on v5e: the dominant per-pass stream is the
+    # scan table, which scales with the supertile COUNT G, so any
+    # grouping that grows G loses more than the narrower query pool
+    # saves. Compaction helps precisely because it shrinks G.
+    active_cells = cells_list if compact else None
+    c_pad = _round_up(cells_list.size, tile * shards)
+    qp = 16 * tile
+    if qcnt is not None:
+        if compact:
+            amap = np.full(n_cells, -1, np.int64)
+            amap[cells_list] = np.arange(cells_list.size)
+            ranks = amap[np.flatnonzero(qcnt)]
+            reps = qcnt[np.flatnonzero(qcnt)]
+            keep = ranks >= 0
+            ranks, reps = ranks[keep], reps[keep]
+        else:
+            nz = np.flatnonzero(qcnt)
+            ranks, reps = nz, qcnt[nz]
+        if ranks.size:
+            tcnt = np.bincount(ranks // tile, weights=reps,
+                               minlength=c_pad // tile)
+            tocc = tcnt[tcnt > 0]
+            if tocc.size:
+                qp = int(np.percentile(tocc, cap_percentile))
         qp = int(qp * 1.2) + 8
     qp = _round_up(max(qp, 8), 128 if qp > 128 else 8)
     if qp > qp_limit:
@@ -361,7 +396,9 @@ def _cell_key(points, origin, cell_size, dims, n_bins_div, mask=None,
 def _bin_to_slots(key, n_bins: int, cap: int, channels, fill):
     """Sort by key, rank within bin (key//64), scatter channels to
     [n_bins, cap] slots. Payload channels ride THROUGH the sort
-    network (a post-sort 1D take is the slow path on TPU). Returns
+    network — measured on v5e: sorting (key, pos) alone and gathering
+    the channels afterwards costs MORE, because 1M random 4-byte
+    takes run far below the sort's per-channel cost. Returns
     (outs, index [n_bins, cap] int32, n_dropped)."""
     N = key.shape[0]
     pos = jnp.arange(N, dtype=jnp.int32)
@@ -414,13 +451,12 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
     [C, cap] original-index table and a world-frame field table
     consumed by the XLA epilogue after the kernel has picked winners.
 
-    Dense grids assemble the neighborhood with `jnp.roll` (no
-    gathers, no lane sort; a flat 1-D take at these sizes lowers to a
-    scalar loop on TPU). With `active_cells` ([C_act_pad] int32, -1
-    pad) only active cells get scan rows, assembled by ROW gathers of
-    the [C, cap] binned channels (wide rows gather at full rate) —
-    surface clouds drop the table and its build by the inactive
-    fraction (25x on fragment.pcd).
+    The 27-run neighborhood assembles by ROW gathers of the [C, cap]
+    binned channels (wide rows gather at full rate; flat per-element
+    takes would not). With `active_cells` ([C_act_pad] int32, -1 pad)
+    only active cells get scan rows — surface clouds drop the table
+    and its build by the inactive fraction (25x on fragment.pcd);
+    dense grids use the identity cell list.
 
     reference: the grid replaces kdtree_flann.inl's per-query
     traversal; padded-slot capacity semantics follow NUM_MAX_NN
@@ -437,15 +473,17 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
 
     offs = np.asarray(RUN_OFFSETS, np.float32)
     if active_cells is None:
+        # DENSE: 27-run neighborhood as rolls — measured faster than
+        # row gathers here (strided copies beat 1M+ row takes when
+        # every cell participates)
         C_pad = _round_up(C, tile * shards)
         G = C_pad // tile
 
-        # 27-run neighborhood as rolls (pure strided copies)
         def rolled(arr2d):
-            a = arr2d.reshape(Gx, Gy, Gz, cap)
+            arr = arr2d.reshape(Gx, Gy, Gz, cap)
             parts = []
             for (dx, dy, dz) in RUN_OFFSETS:
-                parts.append(jnp.roll(a, (-dx, -dy, -dz), (0, 1, 2))
+                parts.append(jnp.roll(arr, (-dx, -dy, -dz), (0, 1, 2))
                              .reshape(C, cap))
             return jnp.concatenate(parts, -1)
 
@@ -456,8 +494,9 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
         cz = cz + lane_off[None, :, 2] * cell_size
         row_pad = C_pad - C
     else:
-        # ACTIVE-CELL branch: gather each active cell's 27 neighbor
-        # rows from the [C, cap] binned channels
+        # COMPACT: row gathers of each active cell's 27 neighbor rows
+        # from the [C, cap] binned channels — the table and its build
+        # shrink by the inactive fraction (25x on fragment.pcd)
         C_pad = active_cells.shape[0]          # multiple of tile*shards
         G = C_pad // tile
         avalid = active_cells >= 0
@@ -467,7 +506,7 @@ def build_poolgrid_arrays(points, attrs, origin, cell_size,
         ay = ayx % Gy
         ax = ayx // Gy
         ioffs = np.asarray(RUN_OFFSETS, np.int32)
-        # wraparound matches the dense jnp.roll; guard rings are empty
+        # wraparound neighbor arithmetic; guard rings are empty
         nbr = (((ax[:, None] + ioffs[None, :, 0]) % Gx) * Gy
                + ((ay[:, None] + ioffs[None, :, 1]) % Gy)) * Gz \
             + ((az[:, None] + ioffs[None, :, 2]) % Gz)   # [Ca, 27]

@@ -52,6 +52,46 @@ def compute_jtj_jtr(
     return JTJ, JTr, r2, count
 
 
+def _chol_solve_unrolled(A: jax.Array, b: jax.Array):
+    """Fully-unrolled scalar Cholesky solve for tiny systems.
+
+    The general `jnp.linalg.cholesky` + `cho_solve` + `det` chain
+    lowers to three separate factorization HLOs — measurable per-ICP-
+    iteration overhead inside a fused while_loop on TPU. Unrolling the
+    n<=8 case into plain scalar arithmetic lets XLA fuse the whole
+    solve, and |det A| = prod(diag L)^2 falls out for free.
+
+    Returns (x [n], det_A) with NaNs when A is not positive definite
+    (caller's finiteness check handles the fallback)."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    det_sqrt = L[0][0]
+    for i in range(1, n):
+        det_sqrt = det_sqrt * L[i][i]
+    return jnp.stack(x), det_sqrt * det_sqrt
+
+
 def solve_linear_system_psd(
     A: jax.Array,
     b: jax.Array,
@@ -63,6 +103,14 @@ def solve_linear_system_psd(
     to zero motion when the system is degenerate.
     """
     dtype = A.dtype
+    if A.ndim == 2 and A.shape[-1] <= 8:
+        x, det = _chol_solve_unrolled(A, b)
+        ok = jnp.all(jnp.isfinite(x))
+        if check_det:
+            ok = jnp.logical_and(
+                ok, jnp.abs(det) > jnp.asarray(1e-12, dtype))
+        x = jnp.where(ok, x, jnp.zeros_like(x))
+        return ok, x
     L, ok_chol = _cholesky_with_status(A)
     x = jax.scipy.linalg.cho_solve((L, True), b)
     finite = jnp.all(jnp.isfinite(x))
