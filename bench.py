@@ -37,8 +37,16 @@ ATE_BOUND_M = 0.05  # accuracy obligation: the bundled 5-frame RGB-D
 # regime cupoch's own hybrid odometry achieves on this data
 # (BASELINE.md: "match cupoch trajectories within its ATE bound")
 
-SUITE_ENTRIES = ["fragment", "fgr", "rgbd_odometry", "kinfu", "ate"]
+SUITE_ENTRIES = ["fragment", "fgr", "rgbd_odometry", "kinfu", "ate",
+                 "scaling"]
 ENTRY_TIMEOUT_S = 1800
+# the scaling entry runs on a virtual 8-device CPU mesh (multi-chip
+# TPU hardware is not available here); its compute/collective split
+# separates what would ride ICI from host-core contention
+_ENTRY_ENV = {
+    "scaling": {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+}
 
 
 def _sync(x):
@@ -309,6 +317,27 @@ def entry_kinfu():
             "kinfu_pose_finite": bool(np.isfinite(pose).all())}
 
 
+def entry_scaling():
+    """BASELINE scaling obligation: weak-scaling efficiency over the
+    8-device mesh plus the compute/collective split that attributes
+    any loss (collective_frac = what would ride ICI on real chips;
+    contention_bound = cores/devices ceiling of the virtual mesh)."""
+    from cupoch_tpu.bench.scaling import collective_split, run_scaling
+
+    rows = run_scaling(points_per_device=32768, reps=2,
+                       max_iteration=6)
+    split = collective_split(points_per_device=16384,
+                             max_iteration=6, reps=2)
+    eff8 = next((r["efficiency"] for r in rows
+                 if r["devices"] == max(x["devices"] for x in rows)),
+                None)
+    return {"scaling_rows": rows,
+            "scaling_eff_max_devices": eff8,
+            "scaling_collective_frac": split["collective_frac"],
+            "scaling_host_cores": split["host_cores"],
+            "scaling_contention_bound": split["contention_bound"]}
+
+
 def entry_ate():
     """Config #3 (accuracy half): chained odometry ATE RMSE vs the
     bundled trajectory.log, with the BASELINE pass/fail bound."""
@@ -336,10 +365,12 @@ def bench_suite():
     suite = {}
     for name in SUITE_ENTRIES:
         try:
+            env = dict(os.environ)
+            env.update(_ENTRY_ENV.get(name, {}))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--entry", name],
-                capture_output=True, text=True,
+                capture_output=True, text=True, env=env,
                 timeout=ENTRY_TIMEOUT_S)
             payload = None
             for line in proc.stdout.splitlines():

@@ -112,13 +112,13 @@ def nn_search(
     """1-NN: returns (index [Q], dist2 [Q]).
 
     Selection runs as ONE bf16 MXU pass per tile over a split-
-    precision augmented table (the knn/poolgrid.py trick): score
-    s = |p|^2 - 2 q.p is f32-faithful via
-    qh.(-2ph) + ql.(-2ph) + qh.(-2pl) + |p|^2_hi + |p|^2_lo packed
-    into a single K=11 contraction — |q|^2 is argmin-invariant and
-    skipped. The winner's distance is then recomputed exactly in f32,
-    so the returned d2 is exact; the index can differ from the true
-    NN only on ties below ~2^-16 relative score error. The previous
+    precision augmented table (the knn/poolgrid.py trick, taken to a
+    THREE-way 8+8+8-bit mantissa split): score s = |p|^2 - 2 q.p is
+    f32-faithful via all split products down to the 2^-24 level
+    packed into a single K=21 contraction — |q|^2 is argmin-invariant
+    and skipped. The winner's distance is then recomputed exactly in
+    f32, so the returned d2 is exact; the index can differ from the
+    true NN only on ties at ~2^-24 relative score noise. The previous
     Precision.HIGHEST path (6 MXU passes + two broadcast adds over
     the [T, N] matrix) measured 0.59 s per 268k x 32k pass on a v5e;
     this layout is bound by the single [T, N] score stream."""
@@ -126,22 +126,29 @@ def nn_search(
     N = data.shape[0]
     big = jnp.float32(1e30)
 
-    ph = data.astype(jnp.bfloat16)
-    pl = (data - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    def split3(x):
+        h = x.astype(jnp.bfloat16)
+        r = x - h.astype(jnp.float32)
+        m = r.astype(jnp.bfloat16)
+        low = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+        return h, m, low
+
+    ph, pm, pl = split3(data)
     pn = jnp.sum(data * data, -1)
     if data_mask is not None:
         pn = jnp.where(data_mask, pn, big)
-    pnh = pn.astype(jnp.bfloat16)
-    pnl = (pn - pnh.astype(jnp.float32)).astype(jnp.bfloat16)
+    pnh, pnm, pnl = split3(pn)
     B = jnp.concatenate([
-        -2.0 * ph.T, -2.0 * ph.T, -2.0 * pl.T,
-        pnh[None, :], pnl[None, :]], 0)        # [11, N] bf16
+        -2.0 * ph.T, -2.0 * pm.T, -2.0 * pl.T,   # vs qh
+        -2.0 * ph.T, -2.0 * pm.T,                # vs qm
+        -2.0 * ph.T,                             # vs ql
+        pnh[None, :], pnm[None, :], pnl[None, :]], 0)  # [21, N]
 
     def body(q_tile):
-        qh = q_tile.astype(jnp.bfloat16)
-        ql = (q_tile - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+        qh, qm, ql = split3(q_tile)
         one = jnp.ones((q_tile.shape[0], 1), jnp.bfloat16)
-        A = jnp.concatenate([qh, ql, qh, one, one], 1)  # [T, 11]
+        A = jnp.concatenate([qh, qh, qh, qm, qm, ql,
+                             one, one, one], 1)  # [T, 21]
         s = jax.lax.dot_general(
             A, B, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # [T, N]

@@ -962,25 +962,51 @@ def knn_rungrid(grid: RunGrid, queries, k: int, qcap: int, radius,
                              grid.cell_size, grid.dims, qcap,
                              mask=query_mask)
     cp, _, _ = qsoa.shape
-    T = 8
+    # batch enough cells per map step to keep the VPU busy (T=8 left
+    # ~1500 tiny top_k dispatches at FPFH shapes)
+    T = next(t for t in (32, 16, 8, 4, 2, 1) if cp % t == 0)
     n = cp // T
     r2 = jnp.asarray(radius, jnp.float32) ** 2
     centers = cell_centers(grid.dims, grid.origin, grid.cell_size, cp)
 
     def body(args):
         q, qi, c, ni, cen = args
+        Tq, qc = qi.shape
         e = q[:, 0:3, :] - cen[:, :, None]
         qn = jnp.sum(e * e, 1)
         v = c[:, 3, None, :] \
             + e[:, 0, :, None] * c[:, 0, None, :] \
             + e[:, 1, :, None] * c[:, 1, None, :] \
             + e[:, 2, :, None] * c[:, 2, None, :]
-        nv, lanes = jax.lax.top_k(-v, k)          # [T, qcap, k]
-        d2 = -nv + qn[:, :, None]
-        fi = jnp.take_along_axis(ni[:, None, :], lanes, axis=-1)
-        ok = (qi[:, :, None] >= 0) & (d2 <= r2) & (fi <= 0.0)
-        return (jnp.where(ok, jnp.maximum(d2, 0.0), jnp.inf),
-                jnp.where(ok, (-fi).astype(jnp.int32), INVALID_INDEX))
+        d2a = v + qn[:, :, None]                  # [T, qcap, KC]
+        valid = (qi[:, :, None] >= 0) & (d2a <= r2) \
+            & (ni[:, None, :] <= 0.0)
+        if k == 1:
+            # plain masked argmin (first-lane tie-break, matching the
+            # old top_k path)
+            dm = jnp.where(valid, d2a, jnp.inf)
+            lane1 = jnp.argmin(dm, -1)
+            d21 = jnp.take_along_axis(dm, lane1[..., None], -1)
+            fi1 = jnp.take_along_axis(
+                jnp.broadcast_to(ni[:, None, :], d2a.shape),
+                lane1[..., None], -1)
+            ok1 = jnp.isfinite(d21)
+            return (jnp.where(ok1, jnp.maximum(d21, 0.0), jnp.inf),
+                    jnp.where(ok1, (-fi1).astype(jnp.int32),
+                              INVALID_INDEX))
+        # k > 1: lax.top_k over the candidate lanes. NOTE a
+        # threshold-bisection select (count-halving for the k-th
+        # distance + rank bisect on the selection prefix sum) was
+        # measured ~2x SLOWER than top_k on v5e at k=30..64 over
+        # KC~1.5k lanes — the 30+log(KC) full-width passes cost more
+        # than the fused sort network.
+        nv, lanes = jax.lax.top_k(-jnp.where(valid, d2a, jnp.inf), k)
+        d2k = -nv
+        fik = jnp.take_along_axis(ni[:, None, :], lanes, axis=-1)
+        ok = jnp.isfinite(d2k)
+        return (jnp.where(ok, jnp.maximum(d2k, 0.0), jnp.inf),
+                jnp.where(ok, (-fik).astype(jnp.int32),
+                          INVALID_INDEX))
 
     d2t, idxt = jax.lax.map(body, (
         qsoa.reshape(n, T, qsoa.shape[1], qcap),

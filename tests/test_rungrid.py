@@ -29,9 +29,18 @@ def test_nn_matches_bruteforce(rng):
                                        plan["qcap"])
     bi, bd = bruteforce.nn_search(jnp.asarray(q), jnp.asarray(tgt))
     bi = np.where(np.asarray(bd) <= r * r, np.asarray(bi), -1)
-    np.testing.assert_array_equal(np.asarray(idx), bi)
+    idx = np.asarray(idx)
+    # nn_search's documented contract: the index may differ only on
+    # ties at f32-accumulation noise; the returned distance is exact
+    same = idx == bi
+    tie = (~same) & (idx >= 0) & (bi >= 0) & (
+        np.abs(np.asarray(d2) - np.asarray(bd)) <= 1e-6)
+    assert (same | tie).all(), \
+        f"non-tie mismatches: {np.nonzero(~(same | tie))[0][:5]}"
+    assert same.mean() > 0.99
     ok = bi >= 0
-    np.testing.assert_allclose(np.asarray(d2)[ok], np.asarray(bd)[ok],
+    np.testing.assert_allclose(np.asarray(d2)[ok & same],
+                               np.asarray(bd)[ok & same],
                                rtol=0, atol=2e-6)
 
 
