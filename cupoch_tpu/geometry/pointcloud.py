@@ -274,8 +274,14 @@ class PointCloud(Geometry3D):
     def estimate_normals(
         self, search_param: KDTreeSearchParam = KDTreeSearchParamKNN(30)
     ):
+        # queries stay UNPADDED: bucket-padding them piles the zero
+        # fill into one grid cell and blows the planner's per-cell
+        # query pool (measured 3x the whole call's cost); the padded
+        # data side is masked instead
         pts, mask = _pad_cloud(self.points)
-        idx, _ = knn_mod.search_neighbors(pts, pts, search_param, data_mask=mask)
+        idx, _ = knn_mod.search_neighbors(self.points, pts,
+                                          search_param,
+                                          data_mask=mask)
         cov, cnt = ops.covariances_from_neighbors(pts, idx)
         normals = ops.normals_from_covariances(cov, cnt)
         self.normals = normals[: len(self)]
@@ -285,7 +291,9 @@ class PointCloud(Geometry3D):
         self, search_param: KDTreeSearchParam = KDTreeSearchParamKNN(30)
     ):
         pts, mask = _pad_cloud(self.points)
-        idx, _ = knn_mod.search_neighbors(pts, pts, search_param, data_mask=mask)
+        idx, _ = knn_mod.search_neighbors(self.points, pts,
+                                          search_param,
+                                          data_mask=mask)
         cov, _ = ops.covariances_from_neighbors(pts, idx)
         self.covariances = cov[: len(self)]
         return True
